@@ -1,0 +1,262 @@
+"""Typed configuration system.
+
+The reference uses argparse hyperparameters attached to a LightningModule
+(SURVEY.md §5 "Config / flag system", reconstructed — reference mount was
+empty).  Here every hyperparameter is a frozen dataclass field so a config is
+hashable, printable, diffable, and can be embedded into checkpoints.
+
+Constants whose exact reference value could not be read are marked
+``# UNVERIFIED vs reference`` — they are pinned here, in exactly one place, so
+they can be corrected once if the reference mount ever appears
+(SURVEY.md §7 "Hard parts").
+
+The five preset factory functions at the bottom map 1:1 to
+/root/repo/BASELINE.json:6-12 ("configs").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+# Label value used by Aff-Wild2 annotations for invalid / non-annotated frames.
+INVALID_LABEL = -5.0  # UNVERIFIED vs reference (paper convention: labels in [-1,1], -5 = invalid)
+
+
+@dataclass(frozen=True)
+class MelConfig:
+    """Fused on-device log-mel frontend (replaces offline librosa pass, SURVEY §3.1)."""
+
+    sample_rate: int = 16_000        # ffmpeg -ar 16000 -ac 1 (SURVEY §2.1 C3)
+    n_fft: int = 1024                # UNVERIFIED vs reference
+    win_length: int = 1024           # UNVERIFIED vs reference
+    hop_length: int = 533            # 16000 / 30fps ≈ 533 → ~1 mel frame per video frame. UNVERIFIED vs reference
+    n_mels: int = 64                 # UNVERIFIED vs reference (BASELINE "log-mel", paper-family default)
+    fmin: float = 0.0
+    fmax: float = 8000.0             # Nyquist at 16 kHz
+    mel_scale: str = "slaney"        # librosa default; UNVERIFIED vs reference
+    norm: str = "slaney"             # area-normalize filters; UNVERIFIED vs reference
+    log_eps: float = 1e-6            # log(power + eps)
+    center: bool = True              # librosa-style reflect-pad framing
+
+    @property
+    def mel_frames_per_video_frame(self) -> float:
+        return self.sample_rate / 30.0 / self.hop_length
+
+
+@dataclass(frozen=True)
+class AudioNetConfig:
+    """2D CNN over log-mel patches (SURVEY §2.1 C5)."""
+
+    channels: Tuple[int, ...] = (32, 64, 128, 256)  # UNVERIFIED vs reference
+    feature_dim: int = 256                          # output feature per window
+    norm: str = "batch"                             # batchnorm like the torch repo family
+    mel_frames_per_window: int = 16                 # mel frames consumed per 16-frame video window
+
+
+@dataclass(frozen=True)
+class VisualNetConfig:
+    """R(2+1)D-style 3D CNN over 16x112x112 face clips (SURVEY §2.1 C4, §3.4)."""
+
+    block_channels: Tuple[int, ...] = (64, 128, 256, 512)  # R(2+1)D-18 recipe
+    blocks_per_stage: Tuple[int, ...] = (2, 2, 2, 2)       # depth-18. UNVERIFIED vs reference (18 vs 34)
+    stem_channels: int = 64
+    feature_dim: int = 512
+    frames: int = 16
+    size: int = 112
+
+
+@dataclass(frozen=True)
+class GRUConfig:
+    """Bidirectional GRU temporal-fusion head (SURVEY §2.1 C6)."""
+
+    hidden_size: int = 256   # UNVERIFIED vs reference
+    num_layers: int = 1      # UNVERIFIED vs reference
+    bidirectional: bool = True
+    dropout: float = 0.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    use_audio: bool = True
+    use_video: bool = True
+    mel: MelConfig = field(default_factory=MelConfig)
+    audio: AudioNetConfig = field(default_factory=AudioNetConfig)
+    visual: VisualNetConfig = field(default_factory=VisualNetConfig)
+    gru: GRUConfig = field(default_factory=GRUConfig)
+    num_outputs: int = 2     # (valence, arousal)
+    head_activation: str = "tanh"  # predictions live in [-1, 1]
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @property
+    def fused_dim(self) -> int:
+        d = 0
+        if self.use_audio:
+            d += self.audio.feature_dim
+        if self.use_video:
+            d += self.visual.feature_dim
+        return d
+
+
+@dataclass(frozen=True)
+class WindowConfig:
+    """Clip windowing for training and sliding-window eval (SURVEY §2.1 C2/C9, [B:10])."""
+
+    window_frames: int = 16
+    train_stride: int = 16    # non-overlapping windows during training. UNVERIFIED vs reference
+    eval_stride: int = 8      # overlap-stitched eval. UNVERIFIED vs reference
+    windows_per_clip: int = 4  # consecutive windows fed to the BiGRU as one sequence
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    root: str = ""            # Aff-Wild2 root (cropped_aligned + annotations + audio)
+    fps: float = 30.0
+    image_size: int = 112
+    synthetic: bool = True    # fall back to synthetic data when no dataset is present
+    synthetic_num_videos: int = 8
+    synthetic_video_frames: int = 128
+    num_workers: int = 4
+    prefetch: int = 2
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "adam"       # UNVERIFIED vs reference
+    learning_rate: float = 1e-4   # UNVERIFIED vs reference
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 5.0
+    warmup_steps: int = 0
+    schedule: str = "constant"
+    accumulate_steps: int = 1     # optax.MultiSteps (SURVEY §2.3)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / sharding layer — the rebuild's entire 'distributed backend'
+    (SURVEY §2.4 C-P1)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"   # stub axis; model is ~33M params, TP documented-not-built
+    num_data: int = -1          # -1 = all available devices
+    num_model: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8           # global batch of window-sequences
+    num_steps: int = 1000
+    eval_every: int = 200
+    checkpoint_every: int = 200
+    checkpoint_dir: str = "/tmp/m3f_ckpt"
+    keep_checkpoints: int = 3
+    seed: int = 0
+    log_every: int = 50
+    profile_dir: str = ""         # non-empty → jax.profiler trace around steps
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "m3f"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    window: WindowConfig = field(default_factory=WindowConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    def config_hash(self) -> str:
+        """Stable hash logged into checkpoints (SURVEY §5)."""
+        return hashlib.sha256(
+            json.dumps(self.to_dict(), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _replace_nested(cfg: Any, dotted: str, value: Any) -> Any:
+    """Replace `a.b.c` in a nested frozen-dataclass tree."""
+    head, _, rest = dotted.partition(".")
+    if not rest:
+        f = {f.name: f for f in dataclasses.fields(cfg)}[head]
+        if value is not None and f.type not in (Any,) and not isinstance(value, (dict, list, tuple)):
+            # best-effort scalar coercion from CLI strings
+            current = getattr(cfg, head)
+            if isinstance(current, bool):
+                value = value if isinstance(value, bool) else str(value).lower() in ("1", "true", "yes")
+            elif isinstance(current, int) and not isinstance(value, bool):
+                value = int(value)
+            elif isinstance(current, float):
+                value = float(value)
+        return dataclasses.replace(cfg, **{head: value})
+    return dataclasses.replace(cfg, **{head: _replace_nested(getattr(cfg, head), rest, value)})
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides: dict) -> ExperimentConfig:
+    """Apply `{"train.optim.learning_rate": 3e-4, ...}` CLI-style overrides."""
+    for k, v in overrides.items():
+        cfg = _replace_nested(cfg, k, v)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# The five BASELINE.json configs ([B:7-11])
+# ---------------------------------------------------------------------------
+
+def audio_only() -> ExperimentConfig:
+    """Config 1: log-mel + CNN-GRU V-A regression, CPU-runnable [B:7]."""
+    return ExperimentConfig(
+        name="audio_only",
+        model=ModelConfig(use_audio=True, use_video=False),
+        train=TrainConfig(batch_size=4, num_steps=200),
+    )
+
+
+def visual_only() -> ExperimentConfig:
+    """Config 2: 16-frame face-crop window through 3D backbone to V-A head [B:8]."""
+    return ExperimentConfig(
+        name="visual_only",
+        model=ModelConfig(use_audio=False, use_video=True),
+    )
+
+
+def fusion() -> ExperimentConfig:
+    """Config 3: audio+video late fusion with BiGRU over 16-frame windows [B:9]."""
+    return ExperimentConfig(name="fusion")
+
+
+def longseq_eval() -> ExperimentConfig:
+    """Config 4: sliding-window full-video eval with overlap stitching [B:10]."""
+    return ExperimentConfig(
+        name="longseq_eval",
+        window=WindowConfig(eval_stride=8, windows_per_clip=8),
+    )
+
+
+def distributed_train() -> ExperimentConfig:
+    """Config 5: CCC-loss A/V training on sharded clips across a v5e slice [B:11]."""
+    return ExperimentConfig(
+        name="distributed_train",
+        train=TrainConfig(batch_size=32, num_steps=10_000,
+                          mesh=MeshConfig(num_data=-1)),
+    )
+
+
+PRESETS = {
+    "audio_only": audio_only,
+    "visual_only": visual_only,
+    "fusion": fusion,
+    "longseq_eval": longseq_eval,
+    "distributed_train": distributed_train,
+}

@@ -1,0 +1,94 @@
+"""Concordance Correlation Coefficient metric and loss, with invalid-frame masking.
+
+Capability parity: reference `utils/metrics.py` — `ccc()` and `CCCLoss`
+(SURVEY.md §2.1 C7; reconstructed, reference mount empty).  Definition:
+
+    CCC(x, y) = 2·cov(x, y) / (σx² + σy² + (μx − μy)²)
+
+with **population** (biased, 1/N) moments — the convention used by the ABAW
+challenge evaluation code and the CCC-loss literature.  Loss is
+``1 − mean(CCC_V, CCC_A)`` over valid frames (labels == -5 are invalid and
+masked out, SURVEY §4).
+
+TPU notes: statistics accumulate in fp32 regardless of input dtype
+(SURVEY §7 "Exact CCC parity"); everything is mask-weighted means so the op is
+a handful of VPU reductions that XLA fuses into the surrounding step — no
+Pallas needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax.numpy as jnp
+
+Axis = Union[None, int, Sequence[int]]
+
+
+def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: Axis,
+                eps: float = 1e-12) -> jnp.ndarray:
+    """Mean of ``x`` over ``axis`` counting only elements where ``mask`` is true.
+
+    ``mask`` broadcasts against ``x``.  With no valid elements the mean is 0.
+    """
+    x = x.astype(jnp.float32)
+    if mask is None:
+        return jnp.mean(x, axis=axis)
+    m = jnp.broadcast_to(mask.astype(jnp.float32), x.shape)
+    total = jnp.sum(x * m, axis=axis)
+    count = jnp.sum(m, axis=axis)
+    return total / jnp.maximum(count, eps)
+
+
+def ccc(pred: jnp.ndarray, target: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None, axis: Axis = None,
+        eps: float = 1e-8) -> jnp.ndarray:
+    """Concordance correlation coefficient reduced over ``axis``.
+
+    Args:
+      pred, target: same shape, any float dtype (accumulated in fp32).
+      mask: optional boolean/float mask broadcastable to ``pred`` — invalid
+        frames contribute nothing to any statistic.
+      axis: axes holding the samples (default: all axes). For ``[B, T, 2]``
+        batch-CCC per output channel, pass ``axis=(0, 1)``.
+      eps: denominator guard; a constant pair (zero variance, equal means)
+        yields CCC → 0 rather than NaN.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    mu_p = masked_mean(pred, mask, axis)
+    mu_t = masked_mean(target, mask, axis)
+    # E[(x-mx)(y-my)] with the mask re-applied to the centred products so
+    # masked elements do not leak through the (x - mean) terms.
+    if axis is None:
+        expand = mu_p  # scalars broadcast fine
+        mu_p_b, mu_t_b = mu_p, mu_t
+    else:
+        axes = (axis,) if isinstance(axis, int) else tuple(axis)
+        shape = list(pred.shape)
+        for a in axes:
+            shape[a % pred.ndim] = 1
+        mu_p_b = mu_p.reshape(shape)
+        mu_t_b = mu_t.reshape(shape)
+    dp = pred - mu_p_b
+    dt = target - mu_t_b
+    cov = masked_mean(dp * dt, mask, axis)
+    var_p = masked_mean(dp * dp, mask, axis)
+    var_t = masked_mean(dt * dt, mask, axis)
+    return 2.0 * cov / (var_p + var_t + (mu_p - mu_t) ** 2 + eps)
+
+
+def ccc_loss(pred: jnp.ndarray, target: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None, eps: float = 1e-8) -> jnp.ndarray:
+    """Training loss: ``1 − mean_over_outputs(CCC)``.
+
+    ``pred``/``target``: [..., num_outputs] (trailing dim = (valence, arousal));
+    statistics pool over every leading axis — i.e. batch-level CCC, matching
+    the reference's training_step which computes CCC over the whole batch of
+    frames (SURVEY §3.2).
+    """
+    sample_axes = tuple(range(pred.ndim - 1))
+    if mask is not None and mask.ndim == pred.ndim - 1:
+        mask = mask[..., None]
+    per_output = ccc(pred, target, mask=mask, axis=sample_axes, eps=eps)
+    return 1.0 - jnp.mean(per_output)

@@ -1,0 +1,104 @@
+"""CCC metric/loss vs closed-form hand cases and a numpy oracle (SURVEY §4 Unit)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss, masked_mean
+
+
+def numpy_ccc(x, y, mask=None):
+    """Independent population-moment oracle."""
+    x = np.asarray(x, np.float64).ravel()
+    y = np.asarray(y, np.float64).ravel()
+    if mask is not None:
+        m = np.asarray(mask).ravel().astype(bool)
+        x, y = x[m], y[m]
+    mx, my = x.mean(), y.mean()
+    cov = ((x - mx) * (y - my)).mean()
+    return 2 * cov / (x.var() + y.var() + (mx - my) ** 2)
+
+
+def test_perfect_agreement():
+    x = jnp.asarray(np.random.RandomState(0).randn(1000))
+    assert ccc(x, x) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_anti_correlation():
+    x = jnp.asarray(np.random.RandomState(0).randn(1000))
+    # CCC(x, -x) = -var/(var + var + (2mx)^2); for zero-mean exactly -1
+    xc = x - x.mean()
+    assert ccc(xc, -xc) == pytest.approx(-1.0, abs=1e-5)
+
+
+def test_constant_pair_no_nan():
+    x = jnp.ones(64)
+    v = ccc(x, x)
+    assert np.isfinite(v)
+
+
+def test_matches_numpy_oracle():
+    rng = np.random.RandomState(42)
+    x = rng.randn(512) * 0.3 + 0.1
+    y = 0.7 * x + 0.2 * rng.randn(512)
+    got = float(ccc(jnp.asarray(x), jnp.asarray(y)))
+    assert got == pytest.approx(numpy_ccc(x, y), abs=1e-5)
+
+
+def test_mask_excludes_invalid_frames():
+    rng = np.random.RandomState(1)
+    x = rng.randn(300)
+    y = 0.9 * x + 0.1 * rng.randn(300)
+    mask = rng.rand(300) > 0.3
+    # corrupt the masked-out entries with the Aff-Wild2 invalid value
+    y_bad = np.where(mask, y, -5.0)
+    got = float(ccc(jnp.asarray(x), jnp.asarray(y_bad), mask=jnp.asarray(mask)))
+    assert got == pytest.approx(numpy_ccc(x, y, mask), abs=1e-5)
+
+
+def test_mask_broadcasts_over_outputs():
+    rng = np.random.RandomState(2)
+    pred = rng.randn(4, 50, 2).astype(np.float32)
+    targ = pred + 0.1 * rng.randn(4, 50, 2).astype(np.float32)
+    mask = rng.rand(4, 50) > 0.2
+    per_out = ccc(jnp.asarray(pred), jnp.asarray(targ),
+                  mask=jnp.asarray(mask)[..., None], axis=(0, 1))
+    assert per_out.shape == (2,)
+    for k in range(2):
+        want = numpy_ccc(pred[..., k], targ[..., k], mask)
+        assert float(per_out[k]) == pytest.approx(want, abs=1e-5)
+
+
+def test_loss_range_and_gradient():
+    import jax
+    rng = np.random.RandomState(3)
+    pred = jnp.asarray(rng.randn(8, 16, 2), jnp.float32)
+    targ = jnp.asarray(rng.randn(8, 16, 2), jnp.float32)
+    mask = jnp.asarray(rng.rand(8, 16) > 0.1)
+    loss = ccc_loss(pred, targ, mask)
+    assert 0.0 <= float(loss) <= 2.0
+    g = jax.grad(lambda p: ccc_loss(p, targ, mask))(pred)
+    assert np.isfinite(np.asarray(g)).all()
+    # masked frames must receive zero gradient
+    gm = np.asarray(g) * (1 - np.asarray(mask, np.float32))[..., None]
+    assert np.abs(gm).max() == 0.0
+
+
+def test_loss_zero_at_perfect_prediction():
+    t = jnp.asarray(np.random.RandomState(4).randn(4, 32, 2), jnp.float32)
+    assert float(ccc_loss(t, t)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_masked_mean_counts():
+    x = jnp.asarray([1.0, 2.0, 3.0, 100.0])
+    m = jnp.asarray([True, True, True, False])
+    assert float(masked_mean(x, m, axis=0)) == pytest.approx(2.0)
+
+
+def test_bf16_inputs_accumulate_fp32():
+    rng = np.random.RandomState(5)
+    x = rng.randn(2048).astype(np.float32)
+    y = (0.8 * x + 0.2 * rng.randn(2048)).astype(np.float32)
+    v32 = float(ccc(jnp.asarray(x), jnp.asarray(y)))
+    vbf = float(ccc(jnp.asarray(x, jnp.bfloat16), jnp.asarray(y, jnp.bfloat16)))
+    assert vbf == pytest.approx(v32, abs=2e-2)  # bf16 quantization only, no blowup

