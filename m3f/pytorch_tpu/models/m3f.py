@@ -1,0 +1,95 @@
+"""M3F: late-fusion audio-visual valence-arousal model.
+
+Capability parity: reference ``models/m3f.py`` / ``audiovisual.py`` —
+"concat audio‖video per-window features → bidirectional GRU over window
+sequence → FC → tanh → (valence, arousal)" (SURVEY.md §2.1 C6, §3.4;
+BASELINE.json "late-fusion concat", "BiGRU temporal fusion head").
+
+The model consumes a *sequence of W windows* per example:
+
+    video: [B, W, T=16, 112, 112, 3]   (uint8 or float, NDHWC per window)
+    mel:   [B, W, F, n_mels]           (log-mel slice aligned to each window)
+    →      [B, W, 2]                   (valence, arousal per window, in [-1,1])
+
+Branch backbones run on the flattened [B·W] window batch — one big MXU-friendly
+batch instead of a Python loop — then the BiGRU runs over the W axis.
+
+Audio-only / visual-only ablations (BASELINE configs 1-2) are the same module
+with a branch disabled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from m3f.pytorch_tpu.config import ModelConfig
+from m3f.pytorch_tpu.models.audio import AudioCNN
+from m3f.pytorch_tpu.models.gru import BiGRU
+from m3f.pytorch_tpu.models.r2plus1d import R2Plus1D
+from m3f.pytorch_tpu.nn import Dense, Params, State
+
+
+@dataclass(frozen=True)
+class M3F:
+    cfg: ModelConfig
+
+    def _parts(self):
+        audio = AudioCNN(self.cfg.audio) if self.cfg.use_audio else None
+        visual = R2Plus1D(self.cfg.visual) if self.cfg.use_video else None
+        gru = BiGRU(self.cfg.fused_dim, self.cfg.gru.hidden_size,
+                    self.cfg.gru.num_layers)
+        head_in = (2 if self.cfg.gru.bidirectional else 1) * self.cfg.gru.hidden_size
+        head = Dense(head_in, self.cfg.num_outputs)
+        return audio, visual, gru, head
+
+    def init(self, key) -> Tuple[Params, State]:
+        ka, kv, kg, kh = jax.random.split(key, 4)
+        audio, visual, gru, head = self._parts()
+        params: Params = {}
+        state: State = {}
+        if audio is not None:
+            params["audio"], state["audio"] = audio.init(ka)
+        if visual is not None:
+            params["visual"], state["visual"] = visual.init(kv)
+        params["gru"] = gru.init(kg)
+        params["head"] = head.init(kh)
+        return params, state
+
+    def apply(self, params: Params, state: State,
+              video: Optional[jnp.ndarray] = None,
+              mel: Optional[jnp.ndarray] = None,
+              train: bool = False) -> Tuple[jnp.ndarray, State]:
+        audio, visual, gru, head = self._parts()
+        feats = []
+        new_state: State = {}
+        if visual is not None:
+            assert video is not None, "model configured with use_video=True"
+            b, w = video.shape[:2]
+            flat = video.reshape((b * w,) + video.shape[2:])
+            if flat.dtype == jnp.uint8:
+                flat = flat.astype(self._cdtype()) / 255.0
+            else:
+                flat = flat.astype(self._cdtype())
+            vfeat, new_state["visual"] = visual.apply(
+                params["visual"], state["visual"], flat, train)
+            feats.append(vfeat.reshape(b, w, -1))
+        if audio is not None:
+            assert mel is not None, "model configured with use_audio=True"
+            b, w = mel.shape[:2]
+            flat = mel.reshape((b * w,) + mel.shape[2:]).astype(self._cdtype())
+            afeat, new_state["audio"] = audio.apply(
+                params["audio"], state["audio"], flat, train)
+            feats.append(afeat.reshape(b, w, -1))
+        fused = jnp.concatenate(feats, axis=-1)  # [B, W, Dv+Da]
+        seq = gru.apply(params["gru"], fused)    # [B, W, 2H]
+        out = head.apply(params["head"], seq.astype(jnp.float32))
+        if self.cfg.head_activation == "tanh":
+            out = jnp.tanh(out)
+        return out, new_state
+
+    def _cdtype(self):
+        return jnp.dtype(self.cfg.compute_dtype)

@@ -1,0 +1,175 @@
+"""R(2+1)D visual backbone over 16x112x112 face clips, NDHWC.
+
+Capability parity: reference ``models/r2plus1d.py`` — "3D-CNN
+(R(2+1)D/3D-ResNet-style) visual backbone", pretrained-video-weights lineage
+(SURVEY.md §2.1 C4, §3.4; BASELINE.json north_star). Architecture follows the
+standard R(2+1)D-18 recipe (Tran et al. 2018, as in torchvision
+``video/resnet.py`` — the layout golden-parity tests convert those weights):
+
+- stem: 1x7x7 s(1,2,2) conv → 45 mid → BN/ReLU → 3x1x1 conv → 64 → BN/ReLU
+- 4 stages of 2 basic blocks, channels (64, 128, 256, 512), stages 2-4
+  downsample by (2,2,2) with a 1x1x1 projection shortcut
+- every 3x3x3 conv is factorized spatial(1x3x3) → BN/ReLU → temporal(3x1x1)
+  with the FLOP-matched midplane count
+  M = ⌊ t·d²·Cin·Cout / (d²·Cin + t·Cout) ⌋  (t = d = 3)
+- global average pool → [B, 512]
+
+TPU design: NDHWC throughout so XLA lowers each conv to MXU-tiled
+convolutions without layout transposes; BN+ReLU fuse into the conv epilogues;
+bf16 activations with fp32 BN statistics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from m3f.pytorch_tpu.config import VisualNetConfig
+from m3f.pytorch_tpu.nn import BatchNorm, Conv, Params, State, relu, global_avg_pool
+
+
+def midplanes(in_c: int, out_c: int, t: int = 3, d: int = 3) -> int:
+    """FLOP-matched intermediate width of the (2+1)D factorization."""
+    return (t * d * d * in_c * out_c) // (d * d * in_c + t * out_c)
+
+
+@dataclass(frozen=True)
+class Conv2Plus1D:
+    """Factorized 3D conv: spatial 1xdxd → BN → ReLU → temporal tx1x1."""
+
+    in_c: int
+    out_c: int
+    stride: Tuple[int, int, int] = (1, 1, 1)
+
+    def _layers(self):
+        mid = midplanes(self.in_c, self.out_c)
+        st, sh, sw = self.stride
+        spatial = Conv(self.in_c, mid, (1, 3, 3), strides=(1, sh, sw),
+                       padding=((0, 0), (1, 1), (1, 1)))
+        temporal = Conv(mid, self.out_c, (3, 1, 1), strides=(st, 1, 1),
+                        padding=((1, 1), (0, 0), (0, 0)))
+        return spatial, BatchNorm(mid), temporal
+
+    def init(self, key):
+        ks, kt = jax.random.split(key)
+        spatial, bn, temporal = self._layers()
+        bp, bs = bn.init(None)
+        return ({"spatial": spatial.init(ks), "bn_mid": bp, "temporal": temporal.init(kt)},
+                {"bn_mid": bs})
+
+    def apply(self, params, state, x, train):
+        spatial, bn, temporal = self._layers()
+        x = spatial.apply(params["spatial"], x)
+        x, ns = bn.apply(params["bn_mid"], state["bn_mid"], x, train)
+        x = relu(x)
+        x = temporal.apply(params["temporal"], x)
+        return x, {"bn_mid": ns}
+
+
+@dataclass(frozen=True)
+class BasicBlock:
+    in_c: int
+    out_c: int
+    stride: Tuple[int, int, int] = (1, 1, 1)
+
+    @property
+    def has_downsample(self) -> bool:
+        return self.stride != (1, 1, 1) or self.in_c != self.out_c
+
+    def _layers(self):
+        conv1 = Conv2Plus1D(self.in_c, self.out_c, self.stride)
+        conv2 = Conv2Plus1D(self.out_c, self.out_c)
+        down = Conv(self.in_c, self.out_c, (1, 1, 1), strides=self.stride,
+                    padding="VALID") if self.has_downsample else None
+        return conv1, BatchNorm(self.out_c), conv2, BatchNorm(self.out_c), down
+
+    def init(self, key):
+        k1, k2, kd = jax.random.split(key, 3)
+        conv1, bn1, conv2, bn2, down = self._layers()
+        p1, s1 = conv1.init(k1)
+        p2, s2 = conv2.init(k2)
+        bp1, bs1 = bn1.init(None)
+        bp2, bs2 = bn2.init(None)
+        params = {"conv1": p1, "bn1": bp1, "conv2": p2, "bn2": bp2}
+        state = {"conv1": s1, "bn1": bs1, "conv2": s2, "bn2": bs2}
+        if down is not None:
+            params["down"] = down.init(kd)
+            bpd, bsd = BatchNorm(self.out_c).init(None)
+            params["bn_down"] = bpd
+            state["bn_down"] = bsd
+        return params, state
+
+    def apply(self, params, state, x, train):
+        conv1, bn1, conv2, bn2, down = self._layers()
+        ns = {}
+        y, ns["conv1"] = conv1.apply(params["conv1"], state["conv1"], x, train)
+        y, ns["bn1"] = bn1.apply(params["bn1"], state["bn1"], y, train)
+        y = relu(y)
+        y, ns["conv2"] = conv2.apply(params["conv2"], state["conv2"], y, train)
+        y, ns["bn2"] = bn2.apply(params["bn2"], state["bn2"], y, train)
+        if down is not None:
+            sc = down.apply(params["down"], x)
+            sc, ns["bn_down"] = BatchNorm(self.out_c).apply(
+                params["bn_down"], state["bn_down"], sc, train)
+        else:
+            sc = x
+        return relu(y + sc), ns
+
+
+@dataclass(frozen=True)
+class R2Plus1D:
+    cfg: VisualNetConfig
+
+    def _stem(self):
+        return (Conv(3, 45, (1, 7, 7), strides=(1, 2, 2),
+                     padding=((0, 0), (3, 3), (3, 3))),
+                BatchNorm(45),
+                Conv(45, self.cfg.stem_channels, (3, 1, 1),
+                     padding=((1, 1), (0, 0), (0, 0))),
+                BatchNorm(self.cfg.stem_channels))
+
+    def _blocks(self):
+        blocks = []
+        in_c = self.cfg.stem_channels
+        for si, (out_c, n) in enumerate(zip(self.cfg.block_channels,
+                                            self.cfg.blocks_per_stage)):
+            for bi in range(n):
+                stride = (2, 2, 2) if (si > 0 and bi == 0) else (1, 1, 1)
+                blocks.append(BasicBlock(in_c, out_c, stride))
+                in_c = out_c
+        return blocks
+
+    def init(self, key) -> Tuple[Params, State]:
+        s_conv1, s_bn1, s_conv2, s_bn2 = self._stem()
+        blocks = self._blocks()
+        keys = jax.random.split(key, len(blocks) + 2)
+        bp1, bs1 = s_bn1.init(None)
+        bp2, bs2 = s_bn2.init(None)
+        params = {"stem": {"conv1": s_conv1.init(keys[0]), "bn1": bp1,
+                           "conv2": s_conv2.init(keys[1]), "bn2": bp2},
+                  "blocks": []}
+        state = {"stem": {"bn1": bs1, "bn2": bs2}, "blocks": []}
+        for i, blk in enumerate(blocks):
+            p, s = blk.init(keys[i + 2])
+            params["blocks"].append(p)
+            state["blocks"].append(s)
+        return params, state
+
+    def apply(self, params: Params, state: State, clips: jnp.ndarray,
+              train: bool = False) -> Tuple[jnp.ndarray, State]:
+        """clips: [B, T=16, H=112, W=112, 3] → [B, feature_dim]."""
+        s_conv1, s_bn1, s_conv2, s_bn2 = self._stem()
+        x = s_conv1.apply(params["stem"]["conv1"], clips)
+        x, ns1 = s_bn1.apply(params["stem"]["bn1"], state["stem"]["bn1"], x, train)
+        x = relu(x)
+        x = s_conv2.apply(params["stem"]["conv2"], x)
+        x, ns2 = s_bn2.apply(params["stem"]["bn2"], state["stem"]["bn2"], x, train)
+        x = relu(x)
+        new_state = {"stem": {"bn1": ns1, "bn2": ns2}, "blocks": []}
+        for blk, bp, bs in zip(self._blocks(), params["blocks"], state["blocks"]):
+            x, ns = blk.apply(bp, bs, x, train)
+            new_state["blocks"].append(ns)
+        return global_avg_pool(x), new_state

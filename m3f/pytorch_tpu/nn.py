@@ -1,0 +1,186 @@
+"""Minimal functional NN core: explicit pytree params, TPU-first layouts.
+
+The reference leans on ``torch.nn`` (SURVEY.md §1 L0).  Rather than translate
+torch modules, this is a small hand-rolled functional layer library designed
+around XLA:
+
+- **Layouts:** channels-last everywhere — NHWC for 2D, NDHWC for 3D — so XLA
+  convolutions tile onto the MXU without transposes (torch is NCHW/NCDHW; the
+  weight converter in ``train/convert.py`` handles the permutation).
+- **Params vs state:** learnable params and mutable state (BatchNorm running
+  stats) are separate pytrees; ``apply`` is pure:
+  ``y, new_state = layer.apply(params, state, x, train=...)``.
+- **dtypes:** params fp32, compute bf16 by default ("bf16 compute / fp32
+  params", SURVEY §7 design stance); normalization statistics in fp32.
+
+Each layer is a frozen dataclass: hashable, static under jit closure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+def _fan_in_uniform(key, shape, fan_in, dtype=jnp.float32):
+    """torch-style kaiming-uniform-ish default init: U(-1/sqrt(fan_in), +)."""
+    bound = 1.0 / np.sqrt(max(fan_in, 1))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+@dataclass(frozen=True)
+class Dense:
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    def init(self, key) -> Params:
+        kw, kb = jax.random.split(key)
+        p = {"kernel": _fan_in_uniform(kw, (self.in_dim, self.out_dim), self.in_dim)}
+        if self.use_bias:
+            p["bias"] = _fan_in_uniform(kb, (self.out_dim,), self.in_dim)
+        return p
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        y = x @ params["kernel"].astype(x.dtype)
+        if self.use_bias:
+            y = y + params["bias"].astype(x.dtype)
+        return y
+
+
+@dataclass(frozen=True)
+class Conv:
+    """N-dimensional convolution, channels-last.
+
+    Kernel layout is ``spatial... + (in, out)`` — i.e. HWIO / DHWIO — which is
+    XLA's native rhs layout for channels-last convs (torch OIHW/OIDHW is
+    permuted by the converter).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...] = ()
+    padding: Any = "SAME"
+    use_bias: bool = False
+    feature_group_count: int = 1
+
+    def _strides(self):
+        return self.strides or (1,) * len(self.kernel_size)
+
+    def init(self, key) -> Params:
+        kw, kb = jax.random.split(key)
+        shape = tuple(self.kernel_size) + (self.in_channels // self.feature_group_count,
+                                           self.out_channels)
+        fan_in = int(np.prod(self.kernel_size)) * self.in_channels // self.feature_group_count
+        p = {"kernel": _fan_in_uniform(kw, shape, fan_in)}
+        if self.use_bias:
+            p["bias"] = _fan_in_uniform(kb, (self.out_channels,), fan_in)
+        return p
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        nd = len(self.kernel_size)
+        # NHWC-style dimension numbers for any rank:  N + spatial + C
+        spatial = "".join("DHW"[-nd:])  # 1D->W, 2D->HW, 3D->DHW
+        lhs = "N" + spatial + "C"
+        rhs = spatial + "IO"
+        dn = jax.lax.conv_dimension_numbers(x.shape, params["kernel"].shape,
+                                            (lhs, rhs, lhs))
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * nd
+        elif isinstance(pad, (tuple, list)) and pad and isinstance(pad[0], int):
+            pad = [(p, p) for p in pad]
+        y = jax.lax.conv_general_dilated(
+            x, params["kernel"].astype(x.dtype), self._strides(), pad,
+            dimension_numbers=dn, feature_group_count=self.feature_group_count,
+            preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        )
+        y = y.astype(x.dtype)
+        if self.use_bias:
+            y = y + params["bias"].astype(x.dtype)
+        return y
+
+
+@dataclass(frozen=True)
+class BatchNorm:
+    """BatchNorm over the trailing channel axis (stats over all other axes).
+
+    Matches torch BatchNorm semantics: biased batch variance for
+    normalization, unbiased variance into the running estimate, fp32 stats.
+    """
+
+    num_features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    def init(self, key) -> Tuple[Params, State]:
+        del key
+        p = {"scale": jnp.ones(self.num_features, jnp.float32),
+             "bias": jnp.zeros(self.num_features, jnp.float32)}
+        s = {"mean": jnp.zeros(self.num_features, jnp.float32),
+             "var": jnp.ones(self.num_features, jnp.float32)}
+        return p, s
+
+    def apply(self, params: Params, state: State, x: jnp.ndarray,
+              train: bool) -> Tuple[jnp.ndarray, State]:
+        axes = tuple(range(x.ndim - 1))
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+            n = np.prod([x.shape[a] for a in axes])
+            unbiased = var * (n / max(n - 1, 1))
+            new_state = {
+                "mean": (1 - self.momentum) * state["mean"] + self.momentum * mean,
+                "var": (1 - self.momentum) * state["var"] + self.momentum * unbiased,
+            }
+        else:
+            mean, var = state["mean"], state["var"]
+            new_state = state
+        inv = jax.lax.rsqrt(var + self.eps) * params["scale"]
+        y = (x.astype(jnp.float32) - mean) * inv + params["bias"]
+        return y.astype(x.dtype), new_state
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def global_avg_pool(x: jnp.ndarray, keep_batch_dims: int = 1) -> jnp.ndarray:
+    """Mean over all spatial axes: [N, *spatial, C] → [N, C]."""
+    axes = tuple(range(keep_batch_dims, x.ndim - 1))
+    return jnp.mean(x, axis=axes)
+
+
+def max_pool(x: jnp.ndarray, window: Sequence[int], strides: Sequence[int],
+             padding="SAME") -> jnp.ndarray:
+    """Channels-last max pool over the spatial dims of [N, *spatial, C]."""
+    nd = len(window)
+    dims = (1,) + tuple(window) + (1,)
+    strd = (1,) + tuple(strides) + (1,)
+    if isinstance(padding, str):
+        pad = padding
+    else:
+        pad = ((0, 0),) + tuple(padding) + ((0, 0),)
+    return jax.lax.reduce_window(x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+                                 jax.lax.max, dims, strd, pad)
+
+
+# ---------------------------------------------------------------------------
+# Pytree utilities
+# ---------------------------------------------------------------------------
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def cast_tree(tree, dtype):
+    return jax.tree.map(lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)

@@ -1,0 +1,201 @@
+"""torch ↔ jax weight converter.
+
+Capability parity: the reference loads pretrained torch video-backbone
+state_dicts and Lightning ``.ckpt`` files (SURVEY.md §3.5); BASELINE.json
+requires "checkpoint-compatible weights".  This module maps a torch
+``state_dict`` (as ``{name: numpy array}`` — no torch import needed here, so
+the core library stays torch-free) onto this package's pytree params/state:
+
+- ``nn.Linear``   weight [out, in]        → Dense kernel [in, out]       (transpose)
+- ``nn.Conv2d``   weight OIHW             → Conv kernel HWIO             (2,3,1,0)
+- ``nn.Conv3d``   weight OIDHW            → Conv kernel DHWIO            (2,3,4,1,0)
+- ``nn.BatchNorm*`` weight/bias           → scale/bias; running stats → state
+- ``nn.GRU``      weight_ih_l{k}[_reverse] [3H, D] → w_ih [D, 3H] (transpose;
+  gate order (r, z, n) is IDENTICAL by construction — models/gru.py stores
+  torch gate order, SURVEY §7 "Weight converter correctness")
+
+Visual-backbone key schema follows torchvision ``video/resnet.py`` VideoResNet
+(``stem.0/1/3/4``, ``layerN.M.conv1.0.0 …``) so IG-65M / Kinetics R(2+1)D-18
+checkpoints convert directly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+Array = np.ndarray
+SD = Mapping[str, Array]
+
+
+def _j(a: Array) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(a), jnp.float32)
+
+
+def _k(prefix: str, name: str) -> str:
+    return f"{prefix}.{name}" if prefix else name
+
+
+def convert_dense(sd: SD, prefix: str) -> Dict:
+    p = {"kernel": _j(sd[_k(prefix, "weight")]).T}
+    if _k(prefix, "bias") in sd:
+        p["bias"] = _j(sd[_k(prefix, "bias")])
+    return p
+
+
+def convert_conv(sd: SD, prefix: str) -> Dict:
+    w = np.asarray(sd[_k(prefix, "weight")])
+    if w.ndim == 4:       # OIHW → HWIO
+        k = w.transpose(2, 3, 1, 0)
+    elif w.ndim == 5:     # OIDHW → DHWIO
+        k = w.transpose(2, 3, 4, 1, 0)
+    else:
+        raise ValueError(f"unsupported conv rank {w.ndim} at {prefix}")
+    p = {"kernel": _j(k)}
+    if _k(prefix, "bias") in sd:
+        p["bias"] = _j(sd[_k(prefix, "bias")])
+    return p
+
+
+def convert_bn(sd: SD, prefix: str) -> Tuple[Dict, Dict]:
+    params = {"scale": _j(sd[_k(prefix, "weight")]),
+              "bias": _j(sd[_k(prefix, "bias")])}
+    state = {"mean": _j(sd[_k(prefix, "running_mean")]),
+             "var": _j(sd[_k(prefix, "running_var")])}
+    return params, state
+
+
+def convert_gru(sd: SD, prefix: str, num_layers: int = 1,
+                bidirectional: bool = True) -> Dict:
+    """torch nn.GRU state_dict → models.gru.BiGRU / GRU params."""
+    def one(layer: int, rev: bool) -> Dict:
+        sfx = f"l{layer}" + ("_reverse" if rev else "")
+        return {
+            "w_ih": _j(sd[_k(prefix, f"weight_ih_{sfx}")]).T,  # [3H, D] → [D, 3H]
+            "w_hh": _j(sd[_k(prefix, f"weight_hh_{sfx}")]).T,  # [3H, H] → [H, 3H]
+            "b_ih": _j(sd[_k(prefix, f"bias_ih_{sfx}")]),
+            "b_hh": _j(sd[_k(prefix, f"bias_hh_{sfx}")]),
+        }
+
+    if not bidirectional:
+        assert num_layers == 1, "unidirectional multi-layer not used by M3F"
+        return one(0, False)
+    return {"layers": [{"fwd": one(k, False), "bwd": one(k, True)}
+                       for k in range(num_layers)]}
+
+
+# ---------------------------------------------------------------------------
+# Whole-model converters
+# ---------------------------------------------------------------------------
+
+def convert_r2plus1d(sd: SD, prefix: str = "",
+                     blocks_per_stage=(2, 2, 2, 2)) -> Tuple[Dict, Dict]:
+    """torchvision VideoResNet(R(2+1)D) state_dict → R2Plus1D (params, state).
+
+    Key schema (torchvision video/resnet.py):
+      stem.0 spatial conv, stem.1 BN, stem.3 temporal conv, stem.4 BN
+      layer{s}.{b}.conv1.0.0 spatial, .conv1.0.1 BN_mid, .conv1.0.3 temporal,
+      .conv1.1 BN;  conv2 likewise;  .downsample.0 conv, .downsample.1 BN
+    """
+    pf = prefix and prefix + "."
+    params = {"stem": {}, "blocks": []}
+    state = {"stem": {}, "blocks": []}
+    params["stem"]["conv1"] = convert_conv(sd, f"{pf}stem.0")
+    params["stem"]["bn1"], state["stem"]["bn1"] = convert_bn(sd, f"{pf}stem.1")
+    params["stem"]["conv2"] = convert_conv(sd, f"{pf}stem.3")
+    params["stem"]["bn2"], state["stem"]["bn2"] = convert_bn(sd, f"{pf}stem.4")
+
+    for s, n in enumerate(blocks_per_stage, start=1):
+        for b in range(n):
+            base = f"{pf}layer{s}.{b}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for cname in ("conv1", "conv2"):
+                bn_mid_p, bn_mid_s = convert_bn(sd, f"{base}.{cname}.0.1")
+                bp[cname] = {
+                    "spatial": convert_conv(sd, f"{base}.{cname}.0.0"),
+                    "bn_mid": bn_mid_p,
+                    "temporal": convert_conv(sd, f"{base}.{cname}.0.3"),
+                }
+                bs[cname] = {"bn_mid": bn_mid_s}
+            bp["bn1"], bs["bn1"] = convert_bn(sd, f"{base}.conv1.1")
+            bp["bn2"], bs["bn2"] = convert_bn(sd, f"{base}.conv2.1")
+            if f"{base}.downsample.0.weight" in sd:
+                bp["down"] = convert_conv(sd, f"{base}.downsample.0")
+                bp["bn_down"], bs["bn_down"] = convert_bn(sd, f"{base}.downsample.1")
+            params["blocks"].append(bp)
+            state["blocks"].append(bs)
+    return params, state
+
+
+def convert_audio_cnn(sd: SD, prefix: str = "", num_stages: int = 4) -> Tuple[Dict, Dict]:
+    """Golden audio CNN (convs.{i} / bns.{i} / head) → AudioCNN (params, state)."""
+    pf = prefix and prefix + "."
+    params = {"conv": [], "bn": [], "head": convert_dense(sd, f"{pf}head")}
+    state = {"bn": []}
+    for i in range(num_stages):
+        params["conv"].append(convert_conv(sd, f"{pf}convs.{i}"))
+        bp, bs = convert_bn(sd, f"{pf}bns.{i}")
+        params["bn"].append(bp)
+        state["bn"].append(bs)
+    return params, state
+
+
+def convert_m3f(sd: SD, use_audio: bool = True, use_video: bool = True,
+                num_gru_layers: int = 1) -> Tuple[Dict, Dict]:
+    """Full reference-shaped model state_dict → M3F (params, state).
+
+    Expects submodule prefixes ``visual.'' (torchvision schema), ``audio.'',
+    ``gru.'' (nn.GRU), ``head.'' (nn.Linear).
+    """
+    params: Dict = {}
+    state: Dict = {}
+    if use_video:
+        params["visual"], state["visual"] = convert_r2plus1d(sd, "visual")
+    if use_audio:
+        params["audio"], state["audio"] = convert_audio_cnn(sd, "audio")
+    params["gru"] = convert_gru(sd, "gru", num_layers=num_gru_layers)
+    params["head"] = convert_dense(sd, "head")
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Export (jax → torch-layout numpy), for checkpoint-compatibility round-trips
+# ---------------------------------------------------------------------------
+
+def export_dense(p: Dict, prefix: str, out: Dict[str, Array]):
+    out[f"{prefix}.weight"] = np.asarray(p["kernel"]).T
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def export_conv(p: Dict, prefix: str, out: Dict[str, Array]):
+    k = np.asarray(p["kernel"])
+    if k.ndim == 4:
+        out[f"{prefix}.weight"] = k.transpose(3, 2, 0, 1)
+    else:
+        out[f"{prefix}.weight"] = k.transpose(4, 3, 0, 1, 2)
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def export_bn(p: Dict, s: Dict, prefix: str, out: Dict[str, Array]):
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    out[f"{prefix}.running_mean"] = np.asarray(s["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(s["var"])
+
+
+def export_gru(p: Dict, prefix: str, out: Dict[str, Array]):
+    layers = p["layers"] if "layers" in p else [{"fwd": p}]
+    for k, layer in enumerate(layers):
+        for key, sfx in (("fwd", f"l{k}"), ("bwd", f"l{k}_reverse")):
+            if key not in layer:
+                continue
+            q = layer[key]
+            out[_k(prefix, f"weight_ih_{sfx}")] = np.asarray(q["w_ih"]).T
+            out[_k(prefix, f"weight_hh_{sfx}")] = np.asarray(q["w_hh"]).T
+            out[_k(prefix, f"bias_ih_{sfx}")] = np.asarray(q["b_ih"])
+            out[_k(prefix, f"bias_hh_{sfx}")] = np.asarray(q["b_hh"])

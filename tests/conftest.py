@@ -10,6 +10,10 @@ Must run before the first `import jax` anywhere in the test process.
 
 import os
 
+# torch-CPU (OpenMP) and XLA's thread pools deadlock intermittently when both
+# spin up worker teams in one process; single-threaded torch avoids it and the
+# golden models are tiny.
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -1,0 +1,127 @@
+"""Audio CNN / R(2+1)D / full-M3F golden parity vs torch-CPU (SURVEY §4).
+
+All torch work happens before any jax dispatch in each test (mixing the two
+runtimes mid-stream can deadlock OpenMP in this image), and jax runs under
+``default_matmul_precision('highest')`` because this backend's DEFAULT is a
+single bf16 pass.
+"""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+import pytest
+
+from m3f.pytorch_tpu.config import AudioNetConfig, ModelConfig, VisualNetConfig
+from m3f.pytorch_tpu.models.audio import AudioCNN
+from m3f.pytorch_tpu.models.m3f import M3F
+from m3f.pytorch_tpu.models.r2plus1d import R2Plus1D, midplanes
+from m3f.pytorch_tpu.train.convert import (convert_audio_cnn, convert_m3f,
+                                           convert_r2plus1d)
+from torch_golden import (AudioCNNGolden, M3FGolden, R2Plus1DGolden,
+                          midplanes as torch_midplanes, state_dict_numpy)
+
+
+def highest():
+    return jax.default_matmul_precision("highest")
+
+
+def test_midplanes_formula_matches():
+    for i, o in [(64, 64), (64, 128), (128, 256), (3, 64)]:
+        assert midplanes(i, o) == torch_midplanes(i, o)
+
+
+def test_audio_cnn_parity_eval():
+    torch.manual_seed(0)
+    tg = AudioCNNGolden().eval()
+    sd = state_dict_numpy(tg)
+    x = np.random.RandomState(0).randn(3, 1, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.from_numpy(x)).numpy()
+
+    params, state = convert_audio_cnn(sd)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1)[..., 0, :, :][..., None])  # NCHW→NHWC
+    xj = jnp.asarray(x[:, 0])  # [B, F, n_mels]; AudioCNN adds channel dim itself
+    with highest():
+        got, _ = AudioCNN(AudioNetConfig()).apply(params, state, xj, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_audio_cnn_batchnorm_train_stats_match_torch():
+    torch.manual_seed(1)
+    tg = AudioCNNGolden(channels=(8,), feature_dim=4).train()
+    x = np.random.RandomState(1).randn(4, 1, 16, 16).astype(np.float32)
+    want = tg(torch.from_numpy(x)).detach().numpy()
+    t_mean = tg.bns[0].running_mean.detach().numpy().copy()
+    t_var = tg.bns[0].running_var.detach().numpy().copy()
+    sd = state_dict_numpy(AudioCNNGolden(channels=(8,), feature_dim=4))
+    # rebuild sd from the ORIGINAL (pre-forward) module instead:
+    torch.manual_seed(1)
+    tg2 = AudioCNNGolden(channels=(8,), feature_dim=4)
+    sd = state_dict_numpy(tg2)
+
+    params, state = convert_audio_cnn(sd, num_stages=1)
+    cfg = AudioNetConfig(channels=(8,), feature_dim=4)
+    with highest():
+        got, new_state = AudioCNN(cfg).apply(params, state, jnp.asarray(x[:, 0]),
+                                             train=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_state["bn"][0]["mean"]), t_mean,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["bn"][0]["var"]), t_var,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_r2plus1d_parity_eval():
+    torch.manual_seed(2)
+    tg = R2Plus1DGolden().eval()
+    sd = state_dict_numpy(tg)
+    # small spatial/temporal extent for CPU speed; backbone is fully conv
+    x = np.random.RandomState(2).randn(1, 3, 8, 56, 56).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.from_numpy(x)).numpy()
+
+    params, state = convert_r2plus1d(sd)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # NCDHW → NDHWC
+    with highest():
+        got, _ = R2Plus1D(VisualNetConfig()).apply(params, state, xj, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_m3f_fusion_parity_eval():
+    torch.manual_seed(3)
+    tg = M3FGolden().eval()
+    sd = state_dict_numpy(tg)
+    rng = np.random.RandomState(3)
+    video = rng.randn(1, 2, 3, 8, 56, 56).astype(np.float32)  # [B,W,C,T,H,W]
+    mel = rng.randn(1, 2, 1, 32, 64).astype(np.float32)       # [B,W,1,F,n_mels]
+    with torch.no_grad():
+        want = tg(torch.from_numpy(video), torch.from_numpy(mel)).numpy()
+
+    params, state = convert_m3f(sd)
+    cfg = ModelConfig(compute_dtype="float32")
+    vj = jnp.asarray(video.transpose(0, 1, 3, 4, 5, 2))  # → [B,W,T,H,W,C]
+    mj = jnp.asarray(mel[:, :, 0])                       # → [B,W,F,n_mels]
+    with highest():
+        got, _ = M3F(cfg).apply(params, state, video=vj, mel=mj, train=False)
+    assert got.shape == want.shape == (1, 2, 2)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+    # predictions bounded by tanh
+    assert (np.abs(np.asarray(got)) <= 1.0).all()
+
+
+def test_m3f_audio_only_parity_eval():
+    torch.manual_seed(4)
+    tg = M3FGolden(use_video=False).eval()
+    sd = state_dict_numpy(tg)
+    rng = np.random.RandomState(4)
+    mel = rng.randn(2, 4, 1, 32, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tg(mel=torch.from_numpy(mel)).numpy()
+
+    params, state = convert_m3f(sd, use_video=False)
+    cfg = ModelConfig(use_video=False, compute_dtype="float32")
+    with highest():
+        got, _ = M3F(cfg).apply(params, state, mel=jnp.asarray(mel[:, :, 0]),
+                                train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,137 @@
+"""Golden torch reimplementation of the reference model blocks.
+
+SURVEY.md §4 "Golden parity vs torch": the reference repo could not be read
+(empty mount), so the reference's building blocks — torchvision-style
+R(2+1)D-18, a conv2d audio branch, ``torch.nn.GRU`` — are re-implemented here
+with torch 2.13-CPU, and the jax models must match them through the weight
+converter.  Key names intentionally mirror torchvision ``video/resnet.py`` so
+``convert_r2plus1d`` also accepts real IG-65M/Kinetics checkpoints.
+"""
+
+import torch
+import torch.nn as nn
+
+
+def midplanes(in_planes, out_planes):
+    return (in_planes * out_planes * 3 * 3 * 3) // (in_planes * 3 * 3 + 3 * out_planes)
+
+
+class Conv2Plus1D(nn.Sequential):
+    def __init__(self, in_planes, out_planes, mid, stride=1):
+        super().__init__(
+            nn.Conv3d(in_planes, mid, (1, 3, 3), stride=(1, stride, stride),
+                      padding=(0, 1, 1), bias=False),
+            nn.BatchNorm3d(mid),
+            nn.ReLU(inplace=True),
+            nn.Conv3d(mid, out_planes, (3, 1, 1), stride=(stride, 1, 1),
+                      padding=(1, 0, 0), bias=False),
+        )
+
+
+class BasicBlock(nn.Module):
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            Conv2Plus1D(inplanes, planes, midplanes(inplanes, planes), stride),
+            nn.BatchNorm3d(planes), nn.ReLU(inplace=True))
+        self.conv2 = nn.Sequential(
+            Conv2Plus1D(planes, planes, midplanes(planes, planes)),
+            nn.BatchNorm3d(planes))
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or inplanes != planes:
+            self.downsample = nn.Sequential(
+                nn.Conv3d(inplanes, planes, 1, stride=(stride, stride, stride),
+                          bias=False),
+                nn.BatchNorm3d(planes))
+
+    def forward(self, x):
+        residual = x if self.downsample is None else self.downsample(x)
+        out = self.conv2(self.conv1(x))
+        return self.relu(out + residual)
+
+
+class R2Plus1DGolden(nn.Module):
+    """torchvision-schema R(2+1)D-18 backbone → [B, 512] features (NCDHW in)."""
+
+    def __init__(self, channels=(64, 128, 256, 512), blocks=(2, 2, 2, 2)):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv3d(3, 45, (1, 7, 7), stride=(1, 2, 2), padding=(0, 3, 3),
+                      bias=False),
+            nn.BatchNorm3d(45), nn.ReLU(inplace=True),
+            nn.Conv3d(45, 64, (3, 1, 1), padding=(1, 0, 0), bias=False),
+            nn.BatchNorm3d(64), nn.ReLU(inplace=True))
+        inplanes = 64
+        for si, (c, n) in enumerate(zip(channels, blocks), start=1):
+            layers = []
+            for bi in range(n):
+                layers.append(BasicBlock(inplanes, c, stride=2 if (si > 1 and bi == 0) else 1))
+                inplanes = c
+            setattr(self, f"layer{si}", nn.Sequential(*layers))
+        self.avgpool = nn.AdaptiveAvgPool3d(1)
+
+    def forward(self, x):
+        x = self.stem(x)
+        for si in range(1, 5):
+            x = getattr(self, f"layer{si}")(x)
+        return self.avgpool(x).flatten(1)
+
+
+class AudioCNNGolden(nn.Module):
+    """Mirror of m3f.pytorch_tpu.models.audio.AudioCNN (NCHW in)."""
+
+    def __init__(self, channels=(32, 64, 128, 256), feature_dim=256):
+        super().__init__()
+        convs, bns = [], []
+        in_c = 1
+        for c in channels:
+            convs.append(nn.Conv2d(in_c, c, 3, stride=2, padding=1, bias=False))
+            bns.append(nn.BatchNorm2d(c))
+            in_c = c
+        self.convs = nn.ModuleList(convs)
+        self.bns = nn.ModuleList(bns)
+        self.head = nn.Linear(in_c, feature_dim)
+
+    def forward(self, mel):  # [B, 1, F, n_mels]
+        x = mel
+        for c, b in zip(self.convs, self.bns):
+            x = torch.relu(b(c(x)))
+        x = x.mean(dim=(2, 3))
+        return self.head(x)
+
+
+class M3FGolden(nn.Module):
+    """Reference-shaped fusion model: branch feats → concat → BiGRU → FC → tanh."""
+
+    def __init__(self, use_audio=True, use_video=True, gru_hidden=256,
+                 audio_dim=256, visual_dim=512, num_layers=1):
+        super().__init__()
+        self.use_audio, self.use_video = use_audio, use_video
+        fused = (audio_dim if use_audio else 0) + (visual_dim if use_video else 0)
+        if use_video:
+            self.visual = R2Plus1DGolden()
+        if use_audio:
+            self.audio = AudioCNNGolden(feature_dim=audio_dim)
+        self.gru = nn.GRU(fused, gru_hidden, num_layers=num_layers,
+                          batch_first=True, bidirectional=True)
+        self.head = nn.Linear(2 * gru_hidden, 2)
+
+    def forward(self, video=None, mel=None):
+        # video: [B, W, C, T, H, W'], mel: [B, W, 1, F, n_mels]
+        feats = []
+        if self.use_video:
+            b, w = video.shape[:2]
+            vf = self.visual(video.reshape(b * w, *video.shape[2:]))
+            feats.append(vf.reshape(b, w, -1))
+        if self.use_audio:
+            b, w = mel.shape[:2]
+            af = self.audio(mel.reshape(b * w, *mel.shape[2:]))
+            feats.append(af.reshape(b, w, -1))
+        fused = torch.cat(feats, dim=-1)
+        seq, _ = self.gru(fused)
+        return torch.tanh(self.head(seq))
+
+
+def state_dict_numpy(module: nn.Module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
