@@ -1,0 +1,77 @@
+"""Headline benchmark: fusion-model training throughput in 16-frame clips/sec/chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+The metric is the BASELINE.json headline ("16-frame clips/sec/chip"). The
+reference published no throughput numbers ([B:13] "published": {}), so
+``vs_baseline`` is measured against the torch-CPU golden model's clips/sec
+recorded in BASELINE.md; on TPU hardware this also stands in for the >=5x
+GPU-reference target until a GPU number exists.
+
+Runs on whatever backend JAX selects (the driver runs it on the real chip).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+# torch-CPU golden fusion model, measured on this host (see BASELINE.md).
+TORCH_CPU_CLIPS_PER_SEC = 1.3
+
+
+def main():
+    import jax
+    from m3f.pytorch_tpu.config import fusion
+    from m3f.pytorch_tpu.data.windowing import samples_per_window
+    from m3f.pytorch_tpu.parallel.mesh import shard_batch
+    from m3f.pytorch_tpu.train.loop import Trainer
+
+    cfg = fusion()
+    n_chips = len(jax.devices())
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # global batch of window-sequences; each example is W windows = W clips
+    B = (8 if on_tpu else 2) * n_chips
+    cfg = cfg.replace(train=cfg.train.__class__(batch_size=B))
+    W, L, S = cfg.window.windows_per_clip, cfg.window.window_frames, cfg.data.image_size
+    spw = samples_per_window(cfg.model.mel, cfg.model.audio.mel_frames_per_window)
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    step = trainer.make_train_step()
+
+    rng = np.random.RandomState(0)
+    batch = shard_batch(trainer.mesh, {
+        "video": rng.randint(0, 256, (B, W, L, S, S, 3)).astype(np.uint8),
+        "wav": rng.randn(B, W, spw).astype(np.float32),
+        "labels": rng.uniform(-1, 1, (B, W, 2)).astype(np.float32),
+        "mask": np.ones((B, W), dtype=bool),
+    })
+
+    # compile + warmup
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = iters * B * W / dt
+    per_chip = clips_per_sec / n_chips
+    print(json.dumps({
+        "metric": "fusion train throughput (16-frame clips/sec/chip)",
+        "value": round(per_chip, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(per_chip / TORCH_CPU_CLIPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Aff-Wild2 dataset indexing and loading.
+
+Capability parity: reference ``datasets/affwild2.py`` — "index videos →
+frames; read face-crop JPEGs; slice aligned log-mel windows; 16-frame clip
+windows with stride; V/A labels + invalid-frame mask" (SURVEY.md §2.1 C2;
+reconstructed, reference mount empty).
+
+Expected on-disk layout (the ABAW challenge distribution):
+
+    <root>/cropped_aligned/<video_id>/00001.jpg …      112×112 face crops
+    <root>/annotations/VA_Estimation_Challenge/
+        Train_Set/<video_id>.txt                        header + "v,a" per frame
+        Validation_Set/<video_id>.txt
+    <root>/audio/<video_id>.wav                         16 kHz mono (ffmpeg-extracted)
+
+Differences from the reference pipeline, by design (BASELINE north_star):
+- **no offline mel `.npy` precompute** — the loader emits raw waveform slices
+  and the fused on-device frontend (ops/melspec.py) does the rest inside jit;
+- JPEG decode stays on host (cv2), normalize/uint8→bf16 happens on device.
+
+Frames with annotation value -5 (or with a missing crop JPEG) are invalid:
+they stay in the window stream but are masked out of the loss/metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from m3f.pytorch_tpu.config import INVALID_LABEL, DataConfig, MelConfig
+
+
+def read_wav_16k_mono(path: str) -> np.ndarray:
+    """Minimal WAV reader (PCM16/PCM32/float32) → float32 in [-1, 1].
+
+    stdlib-only: librosa/soundfile are not in the image (memory note
+    env-constraints); ffmpeg extraction upstream produces standard PCM16.
+    """
+    with wave.open(path, "rb") as w:
+        assert w.getnchannels() == 1, f"{path}: expected mono"
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        return np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    if sw == 4:
+        return np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    raise ValueError(f"{path}: unsupported sample width {sw}")
+
+
+def read_annotation_txt(path: str) -> np.ndarray:
+    """ABAW VA annotation file → [N, 2] float32 (valence, arousal)."""
+    rows: List[List[float]] = []
+    with open(path) as f:
+        header = f.readline()  # "valence,arousal"
+        for line in f:
+            line = line.strip()
+            if line:
+                v, a = line.split(",")
+                rows.append([float(v), float(a)])
+    return np.asarray(rows, dtype=np.float32)
+
+
+@dataclass
+class AffWild2Dataset:
+    cfg: DataConfig
+    mel: MelConfig
+    split: str = "train"   # "train" | "val"
+
+    def __post_init__(self):
+        self.size = self.cfg.image_size
+        ann_dir = os.path.join(
+            self.cfg.root, "annotations", "VA_Estimation_Challenge",
+            "Train_Set" if self.split == "train" else "Validation_Set")
+        self._ann_dir = ann_dir
+        self._ids: List[str] = []
+        if os.path.isdir(ann_dir):
+            self._ids = sorted(os.path.splitext(f)[0] for f in os.listdir(ann_dir)
+                               if f.endswith(".txt"))
+
+    def video_ids(self) -> List[str]:
+        return self._ids
+
+    def _crop_dir(self, video_id: str) -> str:
+        return os.path.join(self.cfg.root, "cropped_aligned", video_id)
+
+    def load_video(self, video_id: str) -> Dict[str, np.ndarray]:
+        """Same schema as SyntheticAVDataset.load_video.
+
+        Frame decode goes through the native C++ thread-pool loader
+        (data/native_loader.py) when built, else cv2 — identical output.
+        """
+        from m3f.pytorch_tpu.data.native_loader import decode_jpeg_batch
+
+        labels = read_annotation_txt(os.path.join(self._ann_dir, video_id + ".txt"))
+        n = len(labels)
+        valid = (labels != INVALID_LABEL).all(axis=1)
+
+        crop_dir = self._crop_dir(video_id)
+        # ABAW frame numbering is 1-based, zero-padded to 5 digits
+        paths = [os.path.join(crop_dir, f"{i + 1:05d}.jpg") for i in range(n)]
+        frames, ok = decode_jpeg_batch(paths, self.size)
+        valid &= ok
+
+        wav_path = os.path.join(self.cfg.root, "audio", video_id + ".wav")
+        expected = int(round(n / self.cfg.fps * self.mel.sample_rate))
+        if os.path.exists(wav_path):
+            wav = read_wav_16k_mono(wav_path)
+            wav = np.pad(wav, (0, max(0, expected - len(wav))))[:expected]
+        else:
+            wav = np.zeros(expected, dtype=np.float32)
+
+        labels = np.where(valid[:, None], labels, INVALID_LABEL).astype(np.float32)
+        return {"frames": frames, "waveform": wav, "labels": labels, "valid": valid}

@@ -1,0 +1,82 @@
+"""Synthetic audio-visual dataset with learnable V/A structure.
+
+SURVEY.md §7 step 1: "synthetic-data generators" — stands in for Aff-Wild2
+(whose videos cannot ship with the repo) in tests, the CPU-runnable config-1
+path, and benchmarks.  The signal is constructed so both branches carry
+learnable information:
+
+- **valence** drives global frame brightness (visual branch can regress it),
+- **arousal** drives the frequency of an audio tone (audio branch can regress
+  it via the log-mel frontend),
+
+so a correctly-wired model trains to CCC > 0 on either modality in a few
+hundred steps — the "loss must decrease" integration gate of SURVEY §4.
+
+Same item schema as AffWild2Dataset: per-video frames, waveform, per-frame
+labels [-1, 1], validity mask (a random span is marked invalid to exercise
+masking).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict
+
+import numpy as np
+
+from m3f.pytorch_tpu.config import INVALID_LABEL, DataConfig, MelConfig
+
+
+@dataclass
+class SyntheticAVDataset:
+    cfg: DataConfig
+    mel: MelConfig
+    seed: int = 0
+    image_size: int = 0   # 0 → cfg.image_size
+
+    def __post_init__(self):
+        self.size = self.image_size or self.cfg.image_size
+        self.num_videos = self.cfg.synthetic_num_videos
+        self.frames_per_video = self.cfg.synthetic_video_frames
+
+    def video_ids(self):
+        return [f"synth_{i:04d}" for i in range(self.num_videos)]
+
+    def load_video(self, video_id: str) -> Dict[str, np.ndarray]:
+        """Returns frames uint8 [N,S,S,3], waveform f32 [T], labels f32 [N,2],
+        valid bool [N]."""
+        idx = int(video_id.split("_")[-1])
+        rng = np.random.RandomState(self.seed * 10_007 + idx)
+        n = self.frames_per_video
+        fps = self.cfg.fps
+        t_frame = np.arange(n) / fps
+
+        # slow random-phase sinusoid labels in [-0.9, 0.9]
+        fv, fa = rng.uniform(0.05, 0.2, 2)
+        pv, pa = rng.uniform(0, 2 * np.pi, 2)
+        valence = 0.9 * np.sin(2 * np.pi * fv * t_frame + pv)
+        arousal = 0.9 * np.sin(2 * np.pi * fa * t_frame + pa)
+
+        # frames: noise + brightness tied to valence
+        base = rng.randint(0, 64, (n, self.size, self.size, 3), dtype=np.uint8)
+        brightness = ((valence + 1.0) * 0.5 * 160.0)[:, None, None, None]
+        frames = np.clip(base.astype(np.float32) + brightness, 0, 255).astype(np.uint8)
+
+        # audio: tone whose frequency follows arousal (200..2000 Hz)
+        sr = self.mel.sample_rate
+        num_samples = int(round(n / fps * sr))
+        t_audio = np.arange(num_samples) / sr
+        arousal_audio = 0.9 * np.sin(2 * np.pi * fa * t_audio + pa)
+        freq = 1100.0 + 900.0 * arousal_audio
+        phase = 2 * np.pi * np.cumsum(freq) / sr
+        wav = (0.3 * np.sin(phase) + 0.01 * rng.randn(num_samples)).astype(np.float32)
+
+        labels = np.stack([valence, arousal], axis=1).astype(np.float32)
+        valid = np.ones(n, dtype=bool)
+        # a random invalid span (missing face crops in the real data)
+        if n > 16:
+            s = rng.randint(0, n - 8)
+            span = rng.randint(2, 8)
+            valid[s:s + span] = False
+            labels[s:s + span] = INVALID_LABEL
+        return {"frames": frames, "waveform": wav, "labels": labels, "valid": valid}

@@ -1,0 +1,116 @@
+"""Window-sequence example construction (shared by synthetic + Aff-Wild2).
+
+The model consumes *sequences of W consecutive 16-frame windows* (SURVEY.md
+§3.4); this module cuts a loaded video (frames/waveform/labels/valid) into
+such examples with static shapes:
+
+    video  uint8  [W, L, S, S, 3]
+    wav    f32    [W, samples_per_window]   (raw audio; mel is computed
+                                             on-device by the fused frontend)
+    labels f32    [W, 2]   masked mean of the frame labels in each window
+    mask   bool   [W]      window has ≥1 valid frame
+
+``samples_per_window`` is chosen so the fused frontend emits EXACTLY
+``mel_frames_per_window`` mel frames: with centered framing,
+n_frames = 1 + samples//hop  ⇒  samples = (mel_frames − 1) · hop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List
+
+import numpy as np
+
+from m3f.pytorch_tpu.config import INVALID_LABEL, MelConfig, WindowConfig
+
+
+def samples_per_window(mel: MelConfig, mel_frames: int) -> int:
+    return (mel_frames - 1) * mel.hop_length
+
+
+def window_label(labels: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Masked mean of per-frame labels → per-window label [2]."""
+    if valid.any():
+        return labels[valid].mean(axis=0)
+    return np.full(labels.shape[1], INVALID_LABEL, np.float32)
+
+
+@dataclass
+class WindowSequencer:
+    window: WindowConfig
+    mel: MelConfig
+    fps: float = 30.0
+    mel_frames: int = 16
+
+    @property
+    def frames_per_example(self) -> int:
+        return self.window.window_frames + (self.window.windows_per_clip - 1) * self.window.train_stride
+
+    def cut(self, video: Dict[str, np.ndarray], start_frame: int) -> Dict[str, np.ndarray]:
+        """One example: windows_per_clip windows starting at start_frame."""
+        wcfg = self.window
+        L, W, stride = wcfg.window_frames, wcfg.windows_per_clip, wcfg.train_stride
+        frames, wav = video["frames"], video["waveform"]
+        labels, valid = video["labels"], video["valid"]
+        spw = samples_per_window(self.mel, self.mel_frames)
+        sr = self.mel.sample_rate
+
+        vids, wavs, labs, mask = [], [], [], []
+        for wi in range(W):
+            fs = start_frame + wi * stride
+            fe = fs + L
+            vids.append(frames[fs:fe])
+            ss = int(round(fs / self.fps * sr))
+            seg = wav[ss:ss + spw]
+            if len(seg) < spw:
+                seg = np.pad(seg, (0, spw - len(seg)))
+            wavs.append(seg)
+            labs.append(window_label(labels[fs:fe], valid[fs:fe]))
+            mask.append(bool(valid[fs:fe].any()))
+        return {
+            "video": np.stack(vids).astype(np.uint8),
+            "wav": np.stack(wavs).astype(np.float32),
+            "labels": np.stack(labs).astype(np.float32),
+            "mask": np.asarray(mask, dtype=bool),
+        }
+
+    def example_starts(self, num_frames: int, hop: int = 0) -> List[int]:
+        """Valid example start frames (hop defaults to one full example)."""
+        span = self.frames_per_example
+        hop = hop or span
+        if num_frames < span:
+            return []
+        return list(range(0, num_frames - span + 1, hop))
+
+
+def batch_examples(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+
+
+def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
+                   seed: int = 0, loop: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Shuffled (video, start) example stream → batched dict iterator.
+
+    Loads one video at a time (videos are large); shuffles across the
+    per-video example index. The C++/threaded prefetch loader wraps this.
+    """
+    rng = np.random.RandomState(seed)
+    ids = dataset.video_ids()
+    assert ids, "dataset has no videos"
+    while True:
+        order = rng.permutation(len(ids))
+        batch: List[Dict[str, np.ndarray]] = []
+        for vi in order:
+            video = dataset.load_video(ids[vi])
+            starts = sequencer.example_starts(len(video["labels"]))
+            rng.shuffle(starts)
+            for s in starts:
+                batch.append(sequencer.cut(video, s))
+                if len(batch) == batch_size:
+                    yield batch_examples(batch)
+                    batch = []
+        if not loop:
+            if batch:
+                yield batch_examples(batch)
+            return

@@ -1,0 +1,155 @@
+"""CLI / trainer entry point.
+
+Capability parity: reference ``main.py`` — "parse hparams, build module +
+Trainer, run fit/test" with argparse hyperparameters (lr, batch size, window
+length, devices, distributed backend) (SURVEY.md §2.1 C1, §1 L5;
+reconstructed — reference mount empty).
+
+TPU-first redesign: instead of a flat argparse namespace, a named preset
+(one per BASELINE.json config) + dotted ``key=value`` overrides onto the
+typed config tree; there is no separate "distributed backend" flag — the
+mesh IS the backend (parallel/mesh.py), and multi-host just needs
+``jax.distributed.initialize`` which happens automatically under a
+coordinator env.
+
+Usage:
+    python -m m3f.pytorch_tpu.main train --preset fusion \
+        train.batch_size=32 train.optim.learning_rate=3e-4
+    python -m m3f.pytorch_tpu.main eval  --preset longseq_eval \
+        --checkpoint /path/ckpt_00001000.npz
+    python -m m3f.pytorch_tpu.main predict --preset longseq_eval \
+        --checkpoint ... --out submission/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+from m3f.pytorch_tpu.config import (ExperimentConfig, PRESETS, apply_overrides)
+from m3f.pytorch_tpu.data.synthetic import SyntheticAVDataset
+from m3f.pytorch_tpu.data.windowing import WindowSequencer, example_stream
+from m3f.pytorch_tpu.parallel.mesh import maybe_initialize_distributed
+from m3f.pytorch_tpu.train.checkpoint import Checkpointer
+from m3f.pytorch_tpu.train.loop import Trainer
+from m3f.pytorch_tpu.utils.logging import MetricWriter
+
+
+def _parse_value(s: str):
+    try:
+        return json.loads(s)
+    except json.JSONDecodeError:
+        return s
+
+
+def build_config(preset: str, overrides: List[str]) -> ExperimentConfig:
+    cfg = PRESETS[preset]()
+    kv = {}
+    for o in overrides:
+        if "=" not in o:
+            raise SystemExit(f"override '{o}' is not key=value")
+        k, _, v = o.partition("=")
+        kv[k] = _parse_value(v)
+    return apply_overrides(cfg, kv)
+
+
+def make_dataset(cfg: ExperimentConfig, split: str):
+    if cfg.data.root and not cfg.data.synthetic:
+        from m3f.pytorch_tpu.data.affwild2 import AffWild2Dataset
+        return AffWild2Dataset(cfg.data, cfg.model.mel, split=split)
+    return SyntheticAVDataset(cfg.data, cfg.model.mel)
+
+
+def cmd_train(cfg: ExperimentConfig, args) -> int:
+    maybe_initialize_distributed()
+    trainer = Trainer(cfg)
+    ds = make_dataset(cfg, "train")
+    seq = WindowSequencer(cfg.window, cfg.model.mel, fps=cfg.data.fps,
+                          mel_frames=cfg.model.audio.mel_frames_per_window)
+    from m3f.pytorch_tpu.data.native_loader import Prefetcher
+    stream = Prefetcher(
+        example_stream(ds, seq, cfg.train.batch_size, seed=cfg.train.seed),
+        depth=cfg.data.prefetch)
+    val = make_dataset(cfg, "val") if args.eval_during_training else None
+    ckpt = Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints, cfg)
+    writer = MetricWriter(cfg.train.checkpoint_dir, "train")
+    step_holder = {}
+
+    def log(msg):
+        print(msg, flush=True)
+
+    ckpt.install_preemption_handler(lambda: step_holder.get("state"))
+    state, history = trainer.fit(stream, val_dataset=val, log=log,
+                                 checkpointer=ckpt)
+    ckpt.save(state)
+    writer.close()
+    return 0
+
+
+def cmd_eval(cfg: ExperimentConfig, args) -> int:
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    if args.checkpoint:
+        from m3f.pytorch_tpu.train.checkpoint import load_pytree
+        import jax
+        state = load_pytree(jax.device_get(state), args.checkpoint)
+    ds = make_dataset(cfg, "val")
+    res = trainer.evaluate(state, ds, max_videos=args.max_videos)
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_predict(cfg: ExperimentConfig, args) -> int:
+    """Full-video predictions → ABAW submission txts (C11)."""
+    from m3f.pytorch_tpu.infer.submission import write_submission
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    if args.checkpoint:
+        from m3f.pytorch_tpu.train.checkpoint import load_pytree
+        import jax
+        state = load_pytree(jax.device_get(state), args.checkpoint)
+    ds = make_dataset(cfg, "val")
+    eval_fwd = trainer.make_eval_forward()
+    preds: Dict[str, np.ndarray] = {}
+    valids: Dict[str, np.ndarray] = {}
+    ids = ds.video_ids()
+    if args.max_videos:
+        ids = ids[: args.max_videos]
+    for vid in ids:
+        video = ds.load_video(vid)
+        r = trainer.evaluate_video(state, video, eval_fwd)
+        preds[vid] = r["pred"]
+        valids[vid] = video["valid"]
+    write_submission(args.out, preds, valids, smooth_window=args.smooth)
+    print(f"wrote {len(preds)} submission files to {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="m3f", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("train", "eval", "predict"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--preset", default="fusion", choices=sorted(PRESETS))
+        sp.add_argument("overrides", nargs="*", help="dotted key=value config overrides")
+        if name == "train":
+            sp.add_argument("--eval-during-training", action="store_true")
+        else:
+            sp.add_argument("--checkpoint", default="")
+            sp.add_argument("--max-videos", type=int, default=0)
+        if name == "predict":
+            sp.add_argument("--out", default="submission")
+            sp.add_argument("--smooth", type=int, default=1,
+                            help="moving-average smoothing window (frames)")
+    args = p.parse_args(argv)
+    cfg = build_config(args.preset, args.overrides)
+    print(f"config {cfg.name} hash={cfg.config_hash()}", flush=True)
+    return {"train": cmd_train, "eval": cmd_eval, "predict": cmd_predict}[args.cmd](cfg, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

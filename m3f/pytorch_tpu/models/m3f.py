@@ -62,8 +62,14 @@ class M3F:
     def apply(self, params: Params, state: State,
               video: Optional[jnp.ndarray] = None,
               mel: Optional[jnp.ndarray] = None,
+              wav: Optional[jnp.ndarray] = None,
               train: bool = False) -> Tuple[jnp.ndarray, State]:
         audio, visual, gru, head = self._parts()
+        if audio is not None and mel is None and wav is not None:
+            # fused on-device frontend — raw [B, W, samples] waveform slices
+            # become [B, W, F, n_mels] log-mels inside the same jit region
+            from m3f.pytorch_tpu.ops.melspec import log_mel_spectrogram
+            mel = log_mel_spectrogram(wav, self.cfg.mel, out_dtype=self._cdtype())
         feats = []
         new_state: State = {}
         if visual is not None:

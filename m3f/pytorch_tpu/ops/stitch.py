@@ -56,7 +56,10 @@ def stitch_overlap_average(window_preds: jnp.ndarray, starts: jnp.ndarray,
     Every frame is covered by ≥1 window by construction of `window_starts`.
     """
     m = coverage_matrix(starts, num_frames, window)           # [N, W]
-    num = m @ window_preds.astype(jnp.float32)                # [N, C]
+    # precision pinned: under DEFAULT this backend lowers fp32 matmuls to a
+    # single bf16 pass, which is not acceptable for eval predictions
+    num = jnp.matmul(m, window_preds.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)     # [N, C]
     den = jnp.sum(m, axis=1, keepdims=True)                   # [N, 1]
     return num / jnp.maximum(den, 1.0)
 
@@ -73,7 +76,8 @@ def stitch_framewise(window_preds: jnp.ndarray, starts: jnp.ndarray,
     f_idx = jax.lax.broadcasted_iota(jnp.int32, (num_frames, w, l), 0)
     l_idx = jax.lax.broadcasted_iota(jnp.int32, (num_frames, w, l), 2)
     p = (f_idx == starts[None, :, None] + l_idx).astype(jnp.float32)
-    num = jnp.einsum("fwl,wlc->fc", p, window_preds.astype(jnp.float32))
+    num = jnp.einsum("fwl,wlc->fc", p, window_preds.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
     den = jnp.einsum("fwl->f", p)[:, None]
     return num / jnp.maximum(den, 1.0)
 

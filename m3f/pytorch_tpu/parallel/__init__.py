@@ -1,0 +1,2 @@
+from m3f.pytorch_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding, create_mesh, replicated, shard_batch)

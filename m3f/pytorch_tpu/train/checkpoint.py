@@ -1,0 +1,149 @@
+"""Atomic, preemption-aware pytree checkpointing.
+
+Capability parity: Lightning ``.ckpt`` files (model + optimizer + step) and
+pretrained-backbone loading (SURVEY.md §2.1 C10, §3.5, §5).  Rebuild design
+(SURVEY §5 "Failure detection"): atomic write (tmp + rename), keep-last-K,
+save-on-SIGTERM for preemption, resume picks the latest valid checkpoint.
+
+Format: one ``.npz`` with flattened pytree leaves keyed by their tree path
+plus a JSON sidecar entry for metadata — dependency-free and portable.  The
+torch interop path is ``train/convert.py`` (state_dict ↔ pytree), which makes
+these checkpoints weight-compatible with the reference's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import signal
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+import jax
+
+from m3f.pytorch_tpu.config import ExperimentConfig
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        out[key] = np.asarray(leaf)
+    return out, treedef
+
+
+def save_pytree(tree, path: str, meta: Optional[dict] = None):
+    """Atomically write a pytree to ``path`` (.npz)."""
+    leaves, _ = _flatten_with_paths(tree)
+    if meta:
+        leaves["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **leaves)
+        os.replace(tmp, path)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_pytree(template, path: str):
+    """Load leaves saved by save_pytree back into ``template``'s structure."""
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files if k != "__meta__"}
+    leaves, treedef = _flatten_with_paths(template)
+    missing = set(leaves) - set(data)
+    extra = set(data) - set(leaves)
+    if missing or extra:
+        raise ValueError(f"checkpoint mismatch: missing={sorted(missing)[:5]} "
+                         f"extra={sorted(extra)[:5]}")
+    flat, td = jax.tree_util.tree_flatten(template)
+    keys = list(_flatten_with_paths(template)[0].keys())
+    new_leaves = [data[k].astype(np.asarray(l).dtype).reshape(np.asarray(l).shape)
+                  for k, l in zip(keys, flat)]
+    return jax.tree_util.tree_unflatten(td, new_leaves)
+
+
+def load_meta(path: str) -> dict:
+    with np.load(path) as z:
+        if "__meta__" in z.files:
+            return json.loads(bytes(z["__meta__"]).decode())
+    return {}
+
+
+@dataclass
+class Checkpointer:
+    directory: str
+    keep: int = 3
+    cfg: Optional[ExperimentConfig] = None
+    _sigterm_state: Any = field(default=None, repr=False)
+
+    def __post_init__(self):
+        os.makedirs(self.directory, exist_ok=True)
+
+    # -- naming -----------------------------------------------------------
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"ckpt_{step:08d}.npz")
+
+    def all_steps(self):
+        steps = []
+        for f in os.listdir(self.directory):
+            m = re.fullmatch(r"ckpt_(\d+)\.npz", f)
+            if m:
+                steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    def latest_path(self) -> Optional[str]:
+        steps = self.all_steps()
+        return self._path(steps[-1]) if steps else None
+
+    # -- save / restore ----------------------------------------------------
+
+    def save(self, state) -> str:
+        step = int(state.step)
+        meta = {"step": step}
+        if self.cfg is not None:
+            meta["config_hash"] = self.cfg.config_hash()
+            meta["config"] = self.cfg.to_dict()
+        path = self._path(step)
+        save_pytree(jax.device_get(state), path, meta)
+        for s in self.all_steps()[:-self.keep]:
+            os.unlink(self._path(s))
+        return path
+
+    def maybe_restore(self, state, trainer=None):
+        """Resume from the latest valid checkpoint, else return state as-is."""
+        for step in reversed(self.all_steps()):
+            p = self._path(step)
+            try:
+                restored = load_pytree(jax.device_get(state), p)
+                meta = load_meta(p)
+                if self.cfg is not None and meta.get("config_hash") not in (
+                        None, self.cfg.config_hash()):
+                    raise ValueError("config hash mismatch")
+                if trainer is not None:
+                    from m3f.pytorch_tpu.parallel.mesh import replicated
+                    restored = jax.device_put(restored, replicated(trainer.mesh))
+                return restored
+            except Exception as e:  # corrupt/partial file → try older
+                print(f"checkpoint {p} unusable ({e}); trying older")
+        return state
+
+    # -- preemption (SIGTERM) ---------------------------------------------
+
+    def install_preemption_handler(self, get_state):
+        """Save on SIGTERM before dying (preemption-aware, SURVEY §5)."""
+        def handler(signum, frame):
+            st = get_state()
+            if st is not None:
+                self.save(st)
+            raise SystemExit(143)
+        signal.signal(signal.SIGTERM, handler)

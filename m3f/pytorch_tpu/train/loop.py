@@ -1,0 +1,241 @@
+"""Training and evaluation loops.
+
+Capability parity: the reference's LightningModule + Trainer — training_step
+with CCC loss, sliding-window full-video validation, optimizer config,
+checkpoint callbacks (SURVEY.md §2.1 C8/C9, §3.2/§3.3).  TPU-first redesign:
+
+- ONE jitted train step (forward + CCC loss + backward + optax update + BN
+  state update) with donated state — no Python in the hot path;
+- data parallelism by construction: the batch arrives sharded on the mesh's
+  ``data`` axis and GSPMD inserts the gradient all-reduce (parallel/mesh.py);
+  BN statistics are computed over the GLOBAL batch (an improvement over torch
+  DDP's per-replica stats — reference behavior is per-GPU);
+- full-video eval enumerates overlapping windows, batches them through the
+  model, and overlap-averages ON DEVICE (ops/stitch.py), then computes
+  per-video CCC over the stitched frame timeline.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from m3f.pytorch_tpu.config import ExperimentConfig, OptimConfig
+from m3f.pytorch_tpu.data.windowing import WindowSequencer, batch_examples
+from m3f.pytorch_tpu.models.m3f import M3F
+from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss
+from m3f.pytorch_tpu.ops.stitch import (clip_predictions, interpolate_gaps,
+                                        stitch_overlap_average, window_starts)
+from m3f.pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                           replicated, shard_batch)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    if cfg.schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, max(cfg.warmup_steps, 1), 100_000)
+    elif cfg.warmup_steps:
+        lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    else:
+        lr = cfg.learning_rate
+    if cfg.optimizer == "adam":
+        opt = optax.adamw(lr, weight_decay=cfg.weight_decay) if cfg.weight_decay \
+            else optax.adam(lr)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(lr, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer}")
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+    if cfg.accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.accumulate_steps)  # SURVEY §2.3 grad accumulation
+    return tx
+
+
+@dataclass
+class Trainer:
+    cfg: ExperimentConfig
+
+    def __post_init__(self):
+        self.model = M3F(self.cfg.model)
+        self.tx = make_optimizer(self.cfg.train.optim)
+        self.mesh = create_mesh(self.cfg.train.mesh.num_data,
+                                self.cfg.train.mesh.num_model)
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        params, bn_state = self.model.init(
+            jax.random.PRNGKey(self.cfg.train.seed if seed is None else seed))
+        opt_state = self.tx.init(params)
+        state = TrainState(params, bn_state, opt_state, jnp.zeros((), jnp.int32))
+        rep = replicated(self.mesh)
+        return jax.device_put(state, rep)
+
+    # -- steps ------------------------------------------------------------
+
+    def _loss_fn(self, params, bn_state, batch, train: bool):
+        preds, new_bn = self.model.apply(
+            params, bn_state,
+            video=batch.get("video"), wav=batch.get("wav"),
+            mel=batch.get("mel"), train=train)
+        loss = ccc_loss(preds, batch["labels"], batch["mask"])
+        return loss, (new_bn, preds)
+
+    def make_train_step(self) -> Callable:
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+
+        def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+            (loss, (new_bn, preds)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(state.params, state.bn_state,
+                                             batch, True)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            metrics = {
+                "loss": loss,
+                "grad_norm": gnorm,
+                "batch_ccc": 1.0 - loss,
+            }
+            return TrainState(new_params, new_bn, new_opt, state.step + 1), metrics
+
+        return jax.jit(step, donate_argnums=0,
+                       in_shardings=(rep, bsh),
+                       out_shardings=(rep, rep))
+
+    def make_eval_forward(self) -> Callable:
+        """Jitted eval forward: window-sequence batch → per-window preds."""
+        def fwd(params, bn_state, batch):
+            preds, _ = self.model.apply(
+                params, bn_state,
+                video=batch.get("video"), wav=batch.get("wav"),
+                mel=batch.get("mel"), train=False)
+            return preds
+        return jax.jit(fwd)
+
+    # -- full-video sliding-window eval (config 4, [B:10]) ----------------
+
+    def evaluate_video(self, state: TrainState, video: Dict[str, np.ndarray],
+                       eval_fwd: Optional[Callable] = None) -> Dict[str, Any]:
+        """Sliding-window eval of ONE loaded video → stitched preds + CCC."""
+        wcfg = self.cfg.window
+        mcfg = self.cfg.model
+        eval_fwd = eval_fwd or self.make_eval_forward()
+        n = len(video["labels"])
+        L, W = wcfg.window_frames, wcfg.windows_per_clip
+        starts = window_starts(n, L, wcfg.eval_stride)            # [Nw]
+
+        # group consecutive windows into length-W GRU sequences (pad tail by
+        # repeating the last window; padded entries are dropped after forward)
+        n_win = len(starts)
+        n_pad = (-n_win) % W
+        starts_padded = np.concatenate([starts, np.repeat(starts[-1:], n_pad)])
+        exs = [starts_padded[si:si + W] for si in range(0, len(starts_padded), W)]
+        # build examples window-by-window (the tail stride is irregular, so
+        # each window is cut independently rather than via WindowSequencer)
+        batches = []
+        spw = (mcfg.audio.mel_frames_per_window - 1) * mcfg.mel.hop_length
+        sr = mcfg.mel.sample_rate
+        for chunk in exs:
+            vids, wavs = [], []
+            for fs in chunk:
+                fs = int(fs)
+                vids.append(video["frames"][fs:fs + L])
+                ss = int(round(fs / self.cfg.data.fps * sr))
+                seg = video["waveform"][ss:ss + spw]
+                if len(seg) < spw:
+                    seg = np.pad(seg, (0, spw - len(seg)))
+                wavs.append(seg)
+            batches.append({"video": np.stack(vids)[None].astype(np.uint8),
+                            "wav": np.stack(wavs)[None].astype(np.float32)})
+
+        preds = []
+        for b in batches:
+            feed = {}
+            if mcfg.use_video:
+                feed["video"] = b["video"]
+            if mcfg.use_audio:
+                feed["wav"] = b["wav"]
+            p = eval_fwd(state.params, state.bn_state, feed)       # [1, W, 2]
+            preds.append(np.asarray(p)[0])
+        win_preds = np.concatenate(preds, axis=0)[:n_win]          # drop pad
+
+        stitched = np.asarray(stitch_overlap_average(
+            jnp.asarray(win_preds), jnp.asarray(starts), n, L))     # [n, 2]
+        stitched = clip_predictions(stitched)
+        valid = video["valid"]
+        labels = video["labels"]
+        per_dim = ccc(jnp.asarray(stitched), jnp.asarray(labels),
+                      mask=jnp.asarray(valid)[:, None], axis=(0,))
+        per_dim = np.asarray(per_dim)
+        return {"pred": stitched, "ccc_v": float(per_dim[0]),
+                "ccc_a": float(per_dim[1])}
+
+    def evaluate(self, state: TrainState, dataset, max_videos: int = 0) -> Dict[str, float]:
+        eval_fwd = self.make_eval_forward()
+        ids = dataset.video_ids()
+        if max_videos:
+            ids = ids[:max_videos]
+        vs, as_ = [], []
+        for vid in ids:
+            r = self.evaluate_video(state, dataset.load_video(vid), eval_fwd)
+            vs.append(r["ccc_v"])
+            as_.append(r["ccc_a"])
+        return {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
+                "ccc_mean": float((np.mean(vs) + np.mean(as_)) / 2)}
+
+    # -- fit ---------------------------------------------------------------
+
+    def fit(self, train_stream: Iterator[Dict[str, np.ndarray]],
+            val_dataset=None, num_steps: Optional[int] = None,
+            log: Callable[[str], None] = print,
+            checkpointer=None) -> Tuple[TrainState, Dict]:
+        tcfg = self.cfg.train
+        num_steps = num_steps or tcfg.num_steps
+        state = self.init_state()
+        if checkpointer is not None:
+            state = checkpointer.maybe_restore(state, self)
+        train_step = self.make_train_step()
+        history = {"loss": []}
+        t0 = time.time()
+        seen = 0
+        use_a, use_v = self.cfg.model.use_audio, self.cfg.model.use_video
+        start_step = int(state.step)
+        for i in range(start_step, num_steps):
+            host_batch = next(train_stream)
+            feed = {"labels": host_batch["labels"], "mask": host_batch["mask"]}
+            if use_v:
+                feed["video"] = host_batch["video"]
+            if use_a:
+                feed["wav"] = host_batch["wav"]
+            batch = shard_batch(self.mesh, feed)
+            state, metrics = train_step(state, batch)
+            seen += host_batch["labels"].shape[0] * host_batch["labels"].shape[1]
+            if (i + 1) % tcfg.log_every == 0 or i + 1 == num_steps:
+                loss = float(metrics["loss"])  # sync point
+                dt = time.time() - t0
+                history["loss"].append(loss)
+                log(f"step {i+1}/{num_steps} loss={loss:.4f} "
+                    f"batch_ccc={float(metrics['batch_ccc']):.4f} "
+                    f"clips/s={seen/dt:.1f}")
+                t0, seen = time.time(), 0
+            if val_dataset is not None and (i + 1) % tcfg.eval_every == 0:
+                ev = self.evaluate(state, val_dataset)
+                log(f"  eval @{i+1}: ccc_v={ev['ccc_v']:.4f} ccc_a={ev['ccc_a']:.4f}")
+                history.setdefault("eval", []).append(ev)
+            if checkpointer is not None and (i + 1) % tcfg.checkpoint_every == 0:
+                checkpointer.save(state)
+        return state, history

@@ -1,0 +1,59 @@
+"""Config system: presets, dotted overrides, hashing (SURVEY §5)."""
+
+import pytest
+
+from m3f.pytorch_tpu.config import (PRESETS, apply_overrides, fusion)
+from m3f.pytorch_tpu.main import build_config
+
+
+def test_presets_exist_for_all_baseline_configs():
+    # BASELINE.json lists exactly five configs ([B:7-11])
+    assert set(PRESETS) == {"audio_only", "visual_only", "fusion",
+                            "longseq_eval", "distributed_train"}
+    assert not PRESETS["audio_only"]().model.use_video
+    assert not PRESETS["visual_only"]().model.use_audio
+
+
+def test_dotted_overrides():
+    cfg = apply_overrides(fusion(), {
+        "train.optim.learning_rate": 3e-4,
+        "train.batch_size": 16,
+        "model.gru.hidden_size": 128,
+    })
+    assert cfg.train.optim.learning_rate == 3e-4
+    assert cfg.train.batch_size == 16
+    assert cfg.model.gru.hidden_size == 128
+
+
+def test_override_string_coercion():
+    cfg = apply_overrides(fusion(), {"train.batch_size": "12",
+                                     "model.use_audio": "false"})
+    assert cfg.train.batch_size == 12
+    assert cfg.model.use_audio is False
+
+
+def test_config_hash_changes_with_content():
+    a, b = fusion(), apply_overrides(fusion(), {"train.batch_size": 99})
+    assert a.config_hash() != b.config_hash()
+    assert a.config_hash() == fusion().config_hash()
+
+
+def test_cli_build_config_parses_values():
+    cfg = build_config("fusion", ["train.batch_size=4",
+                                  "train.optim.learning_rate=0.001"])
+    assert cfg.train.batch_size == 4
+    assert cfg.train.optim.learning_rate == 0.001
+    with pytest.raises(SystemExit):
+        build_config("fusion", ["notkeyvalue"])
+
+
+def test_metric_writer(tmp_path):
+    from m3f.pytorch_tpu.utils.logging import MetricWriter
+    with MetricWriter(str(tmp_path), "t", tensorboard=False) as w:
+        w.write(1, {"loss": 0.5})
+        w.write(2, {"loss": 0.25})
+    jl = (tmp_path / "t.jsonl").read_text().strip().split("\n")
+    assert len(jl) == 2
+    csv_lines = (tmp_path / "t.csv").read_text().strip().split("\n")
+    assert csv_lines[0].startswith("step,")
+    assert len(csv_lines) == 3

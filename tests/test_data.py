@@ -1,0 +1,76 @@
+"""Synthetic dataset, windowing, and batch schema tests (SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from m3f.pytorch_tpu.config import (DataConfig, INVALID_LABEL, MelConfig,
+                                    WindowConfig)
+from m3f.pytorch_tpu.data.synthetic import SyntheticAVDataset
+from m3f.pytorch_tpu.data.windowing import (WindowSequencer, batch_examples,
+                                            example_stream, samples_per_window)
+
+
+DATA = DataConfig(synthetic_num_videos=2, synthetic_video_frames=96, image_size=32)
+MEL = MelConfig()
+WIN = WindowConfig()
+
+
+def test_synthetic_schema():
+    ds = SyntheticAVDataset(DATA, MEL)
+    v = ds.load_video(ds.video_ids()[0])
+    n = DATA.synthetic_video_frames
+    assert v["frames"].shape == (n, 32, 32, 3) and v["frames"].dtype == np.uint8
+    assert v["labels"].shape == (n, 2)
+    assert v["valid"].shape == (n,)
+    assert len(v["waveform"]) == int(round(n / 30.0 * MEL.sample_rate))
+    # labels valid range or INVALID
+    lab = v["labels"][v["valid"]]
+    assert (np.abs(lab) <= 1.0).all()
+    assert (v["labels"][~v["valid"]] == INVALID_LABEL).all()
+    # deterministic
+    v2 = ds.load_video(ds.video_ids()[0])
+    np.testing.assert_array_equal(v["frames"], v2["frames"])
+
+
+def test_window_sequencer_shapes():
+    ds = SyntheticAVDataset(DATA, MEL)
+    v = ds.load_video("synth_0000")
+    seq = WindowSequencer(WIN, MEL)
+    ex = seq.cut(v, 0)
+    W, L = WIN.windows_per_clip, WIN.window_frames
+    assert ex["video"].shape == (W, L, 32, 32, 3)
+    assert ex["wav"].shape == (W, samples_per_window(MEL, 16))
+    assert ex["labels"].shape == (W, 2)
+    assert ex["mask"].shape == (W,)
+    # window labels are means of valid frame labels
+    w0 = v["labels"][:L][v["valid"][:L]]
+    np.testing.assert_allclose(ex["labels"][0], w0.mean(axis=0), rtol=1e-5)
+
+
+def test_mel_frames_per_window_exact():
+    # samples_per_window must yield exactly mel_frames frames from the frontend
+    import jax.numpy as jnp
+    from m3f.pytorch_tpu.ops.melspec import log_mel_spectrogram
+    spw = samples_per_window(MEL, 16)
+    wav = jnp.zeros((2, spw))
+    mel = log_mel_spectrogram(wav, MEL)
+    assert mel.shape == (2, 16, MEL.n_mels)
+
+
+def test_example_stream_batching():
+    ds = SyntheticAVDataset(DATA, MEL)
+    seq = WindowSequencer(WIN, MEL)
+    it = example_stream(ds, seq, batch_size=3, seed=0)
+    b = next(it)
+    assert b["video"].shape[0] == 3
+    assert b["labels"].shape == (3, WIN.windows_per_clip, 2)
+    b2 = next(it)
+    assert not np.array_equal(b["video"], b2["video"])
+
+
+def test_example_starts_respect_bounds():
+    seq = WindowSequencer(WIN, MEL)
+    starts = seq.example_starts(200)
+    span = seq.frames_per_example
+    assert all(s + span <= 200 for s in starts)
+    assert seq.example_starts(span - 1) == []

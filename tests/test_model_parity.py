@@ -12,6 +12,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# Full-size backbone compiles take minutes on this single-core VM; the lean
+# default suite skips them (pytest.ini).  Run with:  pytest -m slow
+pytestmark = pytest.mark.slow
+
 from m3f.pytorch_tpu.config import AudioNetConfig, ModelConfig, VisualNetConfig
 from m3f.pytorch_tpu.models.audio import AudioCNN
 from m3f.pytorch_tpu.models.m3f import M3F

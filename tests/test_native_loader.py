@@ -1,0 +1,62 @@
+"""Native C++ JPEG loader vs cv2 parity + prefetcher semantics."""
+
+import numpy as np
+import pytest
+
+from m3f.pytorch_tpu.data import native_loader as nl
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    import cv2
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, size in enumerate([(112, 112), (112, 112), (64, 80)]):
+        img = rng.randint(0, 256, size + (3,), dtype=np.uint8)
+        p = str(d / f"{i:05d}.jpg")
+        cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(p)
+    return paths
+
+
+def test_native_lib_builds_and_loads():
+    assert nl.native_available(), (
+        "native loader not built — run: make -C native/loader")
+
+
+def test_native_vs_cv2_decode(jpeg_dir):
+    import cv2
+    out_n, ok_n = nl.decode_jpeg_batch(jpeg_dir, 112)
+    assert ok_n.all()
+    for i, p in enumerate(jpeg_dir):
+        img = cv2.imread(p, cv2.IMREAD_COLOR)
+        if img.shape[:2] != (112, 112):
+            img = cv2.resize(img, (112, 112), interpolation=cv2.INTER_LINEAR)
+        want = img[..., ::-1]
+        # same JPEG decoder family; resize is matched-convention bilinear.
+        # allow ±2 LSB for IDCT/rounding differences
+        diff = np.abs(out_n[i].astype(int) - want.astype(int))
+        assert diff.max() <= 2, f"frame {i}: max abs diff {diff.max()}"
+
+
+def test_missing_file_masked(jpeg_dir):
+    paths = [jpeg_dir[0], "/nonexistent/x.jpg", jpeg_dir[1]]
+    out, ok = nl.decode_jpeg_batch(paths, 112)
+    assert ok.tolist() == [True, False, True]
+    assert (out[1] == 0).all()
+
+
+def test_prefetcher_order_and_exception():
+    pf = nl.Prefetcher(iter(range(5)), depth=2)
+    assert list(pf) == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    pf = nl.Prefetcher(boom(), depth=2)
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError):
+        next(pf)
+        next(pf)

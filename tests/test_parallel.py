@@ -1,0 +1,103 @@
+"""Distributed-without-a-cluster tests (SURVEY §4): 8 fake CPU devices.
+
+Asserts the GSPMD-sharded train step equals the single-device step, that
+gradients are correctly psum-reduced over the data axis, and that batch
+sharding round-trips.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from m3f.pytorch_tpu.config import (AudioNetConfig, ExperimentConfig,
+                                    GRUConfig, MeshConfig, ModelConfig,
+                                    TrainConfig, WindowConfig)
+from m3f.pytorch_tpu.data.windowing import samples_per_window
+from m3f.pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                           replicated, shard_batch)
+from m3f.pytorch_tpu.train.loop import Trainer
+
+
+def tiny_cfg(n_data: int) -> ExperimentConfig:
+    return ExperimentConfig(
+        name="tiny",
+        model=ModelConfig(
+            use_audio=True, use_video=False,
+            audio=AudioNetConfig(channels=(4, 8), feature_dim=8),
+            gru=GRUConfig(hidden_size=8),
+        ),
+        window=WindowConfig(windows_per_clip=2),
+        train=TrainConfig(batch_size=8, mesh=MeshConfig(num_data=n_data)),
+    )
+
+
+def make_batch(cfg, B=8, seed=0):
+    rng = np.random.RandomState(seed)
+    W = cfg.window.windows_per_clip
+    spw = samples_per_window(cfg.model.mel, cfg.model.audio.mel_frames_per_window)
+    return {
+        "wav": rng.randn(B, W, spw).astype(np.float32),
+        "labels": rng.uniform(-1, 1, (B, W, 2)).astype(np.float32),
+        "mask": np.ones((B, W), dtype=bool),
+    }
+
+
+def test_mesh_shapes():
+    m = create_mesh()
+    assert m.devices.size == len(jax.devices()) and m.axis_names == ("data", "model")
+    m2 = create_mesh(4, 2)
+    assert m2.devices.shape == (4, 2)
+
+
+def test_shard_batch_sharding():
+    cfg = tiny_cfg(8)
+    t = Trainer(cfg)
+    b = shard_batch(t.mesh, make_batch(cfg))
+    assert b["wav"].sharding.spec == batch_sharding(t.mesh).spec
+    np.testing.assert_array_equal(np.asarray(b["labels"]),
+                                  make_batch(cfg)["labels"])
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_sharded_equals_single_device():
+    """Same seed, same batch: 8-way data-parallel step == 1-device step."""
+    host = make_batch(tiny_cfg(8))
+    results = {}
+    for n in (1, 8):
+        cfg = tiny_cfg(n)
+        tr = Trainer(cfg)
+        state = tr.init_state(seed=0)
+        step = tr.make_train_step()
+        batch = shard_batch(tr.mesh, host)
+        state, metrics = step(state, batch)
+        state, metrics = step(state, shard_batch(tr.mesh, host))
+        results[n] = (jax.device_get(state.params), float(metrics["loss"]))
+    p1, l1 = results[1]
+    p8, l8 = results[8]
+    assert abs(l1 - l8) < 1e-5
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_grad_psum_correctness():
+    """GSPMD gradient over sharded batch == mean-equivalent global gradient."""
+    mesh = create_mesh(8, 1)
+
+    def loss_fn(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(4, 2).astype(np.float32))
+    x = rng.randn(16, 4).astype(np.float32)
+
+    g_single = jax.grad(loss_fn)(w, jnp.asarray(x))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ws = jax.device_put(w, replicated(mesh))
+    g_sharded = jax.jit(jax.grad(loss_fn),
+                        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                        out_shardings=replicated(mesh))(ws, xs)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,78 @@
+"""Window/stitch indexing properties (SURVEY §4: "every frame covered,
+overlap weights sum to 1"), determinism, gap interpolation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from m3f.pytorch_tpu.ops.stitch import (clip_predictions, coverage_matrix,
+                                        interpolate_gaps,
+                                        stitch_framewise,
+                                        stitch_overlap_average, window_starts)
+
+
+@pytest.mark.parametrize("n,window,stride", [
+    (100, 16, 8), (100, 16, 16), (16, 16, 8), (17, 16, 8), (23, 16, 5),
+    (1000, 16, 4), (10, 16, 8),
+])
+def test_every_frame_covered(n, window, stride):
+    starts = window_starts(n, window, stride)
+    m = np.asarray(coverage_matrix(jnp.asarray(starts), n, window))
+    assert (m.sum(axis=1) >= 1).all(), "uncovered frame"
+    # windows never exceed the timeline (except the single-window short case)
+    if n >= window:
+        assert starts.max() + window <= n
+
+
+def test_constant_predictions_stitch_exactly():
+    n, window, stride = 57, 16, 7
+    starts = window_starts(n, window, stride)
+    preds = jnp.ones((len(starts), 2)) * 0.37
+    out = np.asarray(stitch_overlap_average(preds, jnp.asarray(starts), n, window))
+    np.testing.assert_allclose(out, 0.37, rtol=1e-6)
+
+
+def test_overlap_average_matches_numpy():
+    rng = np.random.RandomState(0)
+    n, window, stride = 80, 16, 8
+    starts = window_starts(n, window, stride)
+    preds = rng.randn(len(starts), 2).astype(np.float32)
+    got = np.asarray(stitch_overlap_average(jnp.asarray(preds),
+                                            jnp.asarray(starts), n, window))
+    want_num = np.zeros((n, 2))
+    want_den = np.zeros((n, 1))
+    for w, s in enumerate(starts):
+        want_num[s:s + window] += preds[w]
+        want_den[s:s + window] += 1
+    np.testing.assert_allclose(got, want_num / want_den, rtol=1e-5, atol=1e-6)
+
+
+def test_framewise_stitch_matches_numpy():
+    rng = np.random.RandomState(1)
+    n, window, stride = 40, 16, 8
+    starts = window_starts(n, window, stride)
+    preds = rng.randn(len(starts), window, 2).astype(np.float32)
+    got = np.asarray(stitch_framewise(jnp.asarray(preds), jnp.asarray(starts), n))
+    num = np.zeros((n, 2)); den = np.zeros((n, 1))
+    for w, s in enumerate(starts):
+        num[s:s + window] += preds[w]
+        den[s:s + window] += 1
+    np.testing.assert_allclose(got, num / den, rtol=1e-5, atol=1e-6)
+
+
+def test_interpolate_gaps():
+    preds = np.array([[0.0, 0.0], [1.0, -1.0], [9.0, 9.0], [3.0, -3.0]], np.float32)
+    valid = np.array([True, True, False, True])
+    out = interpolate_gaps(preds, valid)
+    np.testing.assert_allclose(out[2], [2.0, -2.0], atol=1e-6)  # linear between rows 1 and 3
+    # edges: leading/trailing gaps take nearest valid value
+    out2 = interpolate_gaps(preds, np.array([False, True, True, False]))
+    np.testing.assert_allclose(out2[0], preds[1])
+    np.testing.assert_allclose(out2[3], preds[2])
+
+
+def test_clip():
+    p = np.array([[1.5, -2.0], [0.3, 0.9]], np.float32)
+    out = clip_predictions(p)
+    assert out.max() <= 1.0 and out.min() >= -1.0
+    np.testing.assert_allclose(out[1], p[1])
