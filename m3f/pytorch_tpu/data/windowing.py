@@ -98,9 +98,11 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     rng = np.random.RandomState(seed)
     ids = dataset.video_ids()
     assert ids, "dataset has no videos"
+    # batch persists ACROSS epochs: an epoch smaller than batch_size must
+    # keep accumulating, not discard and spin forever
+    batch: List[Dict[str, np.ndarray]] = []
     while True:
         order = rng.permutation(len(ids))
-        batch: List[Dict[str, np.ndarray]] = []
         for vi in order:
             video = dataset.load_video(ids[vi])
             starts = sequencer.example_starts(len(video["labels"]))

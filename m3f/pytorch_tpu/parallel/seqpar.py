@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from m3f.pytorch_tpu.parallel.mesh import batch_sharding, replicated
 
@@ -137,6 +137,9 @@ def gru_seq_parallel(params: dict, x: jnp.ndarray, mesh: Mesh,
         is_edge = idx == (d - 1 if reverse else 0)
 
         h_in = jnp.zeros((b, hidden), jnp.float32)
+        # mark the carry as device-varying up front (shard_map VMA typing:
+        # the scan output is varying over 'data', so the input must be too)
+        h_in = jax.lax.pcast(h_in, (axis,), to="varying")
         ys = None
         for r in range(d):
             _carry, ys = scan_chunk(h_in)

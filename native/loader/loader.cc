@@ -95,14 +95,18 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst,
     int y0 = static_cast<int>(fy);
     if (y0 > sh - 2) y0 = sh - 2;
     if (y0 < 0) y0 = 0;
-    const float wy = fy - y0;
+    // clamp the weight to [0,1]: when fy falls past the last source row the
+    // raw fy-y0 would extrapolate (>1) and the uint8 cast below would wrap
+    float wy = fy - y0;
+    if (wy > 1.0f) wy = 1.0f;
     for (int x = 0; x < dw; ++x) {
       float fx = (x + 0.5f) * sx - 0.5f;
       if (fx < 0) fx = 0;
       int x0 = static_cast<int>(fx);
       if (x0 > sw - 2) x0 = sw - 2;
       if (x0 < 0) x0 = 0;
-      const float wx = fx - x0;
+      float wx = fx - x0;
+      if (wx > 1.0f) wx = 1.0f;
       const uint8_t* p00 = src + (static_cast<size_t>(y0) * sw + x0) * 3;
       const uint8_t* p01 = p00 + 3;
       const uint8_t* p10 = p00 + static_cast<size_t>(sw) * 3;
@@ -111,7 +115,10 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst,
       for (int c = 0; c < 3; ++c) {
         const float v0 = p00[c] + (p01[c] - p00[c]) * wx;
         const float v1 = p10[c] + (p11[c] - p10[c]) * wx;
-        o[c] = static_cast<uint8_t>(v0 + (v1 - v0) * wy + 0.5f);
+        float v = v0 + (v1 - v0) * wy + 0.5f;
+        if (v < 0.0f) v = 0.0f;
+        if (v > 255.0f) v = 255.0f;
+        o[c] = static_cast<uint8_t>(v);
       }
     }
   }
