@@ -25,6 +25,10 @@ TORCH_CPU_CLIPS_PER_SEC = 1.3
 
 
 def main():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from m3f.pytorch_tpu.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     from m3f.pytorch_tpu.config import fusion
     from m3f.pytorch_tpu.data.windowing import samples_per_window
@@ -52,16 +56,19 @@ def main():
         "mask": np.ones((B, W), dtype=bool),
     })
 
-    # compile + warmup
+    # compile + warmup (float() fetch, not block_until_ready: the axon PJRT
+    # plugin's block returns before execution finishes; a device->host value
+    # transfer is the only reliable sync through the tunnel)
     state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    final_loss = float(m["loss"])  # forces the whole dependent chain
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     clips_per_sec = iters * B * W / dt
     per_chip = clips_per_sec / n_chips

@@ -91,6 +91,7 @@ class ModelConfig:
     head_activation: str = "tanh"  # predictions live in [-1, 1]
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    mel_backend: str = "xla"  # "xla" (rfft) | "pallas" (fused DFT kernel)
 
     @property
     def fused_dim(self) -> int:

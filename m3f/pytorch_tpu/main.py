@@ -146,6 +146,8 @@ def main(argv=None) -> int:
             sp.add_argument("--smooth", type=int, default=1,
                             help="moving-average smoothing window (frames)")
     args = p.parse_args(argv)
+    from m3f.pytorch_tpu.cache import enable_persistent_cache
+    enable_persistent_cache()
     cfg = build_config(args.preset, args.overrides)
     print(f"config {cfg.name} hash={cfg.config_hash()}", flush=True)
     return {"train": cmd_train, "eval": cmd_eval, "predict": cmd_predict}[args.cmd](cfg, args)

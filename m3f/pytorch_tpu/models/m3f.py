@@ -68,8 +68,15 @@ class M3F:
         if audio is not None and mel is None and wav is not None:
             # fused on-device frontend — raw [B, W, samples] waveform slices
             # become [B, W, F, n_mels] log-mels inside the same jit region
-            from m3f.pytorch_tpu.ops.melspec import log_mel_spectrogram
-            mel = log_mel_spectrogram(wav, self.cfg.mel, out_dtype=self._cdtype())
+            if self.cfg.mel_backend == "pallas":
+                from m3f.pytorch_tpu.ops.pallas.melspec_pallas import \
+                    log_mel_spectrogram_pallas
+                mel = log_mel_spectrogram_pallas(wav, self.cfg.mel,
+                                                 out_dtype=self._cdtype())
+            else:
+                from m3f.pytorch_tpu.ops.melspec import log_mel_spectrogram
+                mel = log_mel_spectrogram(wav, self.cfg.mel,
+                                          out_dtype=self._cdtype())
         feats = []
         new_state: State = {}
         if visual is not None:
