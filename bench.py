@@ -20,8 +20,9 @@ import time
 import numpy as np
 
 
-# torch-CPU golden fusion model, measured on this host (see BASELINE.md).
-TORCH_CPU_CLIPS_PER_SEC = 1.3
+# torch-CPU golden fusion model, measured on this host (see BASELINE.md):
+# 225.9 s/step for 8 clips on the 1-core VM, OMP_NUM_THREADS=1.
+TORCH_CPU_CLIPS_PER_SEC = 0.035
 
 
 def main():

@@ -158,6 +158,7 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 50
     profile_dir: str = ""         # non-empty → jax.profiler trace around steps
+    debug_nans: bool = False      # jax_debug_nans during development (SURVEY §5)
     optim: OptimConfig = field(default_factory=OptimConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 

@@ -65,6 +65,9 @@ def make_dataset(cfg: ExperimentConfig, split: str):
 
 
 def cmd_train(cfg: ExperimentConfig, args) -> int:
+    if cfg.train.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     maybe_initialize_distributed()
     trainer = Trainer(cfg)
     ds = make_dataset(cfg, "train")
@@ -84,7 +87,7 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
 
     ckpt.install_preemption_handler(lambda: step_holder.get("state"))
     state, history = trainer.fit(stream, val_dataset=val, log=log,
-                                 checkpointer=ckpt)
+                                 checkpointer=ckpt, metric_writer=writer)
     ckpt.save(state)
     writer.close()
     return 0

@@ -85,21 +85,37 @@ class Conv:
             p["bias"] = _fan_in_uniform(kb, (self.out_channels,), fan_in)
         return p
 
-    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
-        nd = len(self.kernel_size)
-        # NHWC-style dimension numbers for any rank:  N + spatial + C
-        spatial = "".join("DHW"[-nd:])  # 1D->W, 2D->HW, 3D->DHW
-        lhs = "N" + spatial + "C"
-        rhs = spatial + "IO"
-        dn = jax.lax.conv_dimension_numbers(x.shape, params["kernel"].shape,
-                                            (lhs, rhs, lhs))
+    def _norm_pad(self):
         pad = self.padding
+        nd = len(self.kernel_size)
         if isinstance(pad, int):
             pad = [(pad, pad)] * nd
         elif isinstance(pad, (tuple, list)) and pad and isinstance(pad[0], int):
             pad = [(p, p) for p in pad]
+        return pad
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Channels-last conv via one XLA conv_general_dilated call.
+
+        Perf note (measured on v5e, round 1): lowering the degenerate
+        R(2+1)D convs to 2D (1×k×k → batched NHWC; t×1×1 → (T, H·W)) is
+        10-40% faster in ISOLATION but 2.8× slower in the full training
+        graph — the reshapes around every conv break XLA's layout
+        assignment and fusion. Keep the straight 3D form.
+        """
+        nd = len(self.kernel_size)
+        kernel = params["kernel"].astype(x.dtype)
+        pad = self._norm_pad()
+        strides = self._strides()
+
+        # NHWC-style dimension numbers for any rank:  N + spatial + C
+        spatial = "".join("DHW"[-nd:])  # 1D->W, 2D->HW, 3D->DHW
+        lhs = "N" + spatial + "C"
+        rhs = spatial + "IO"
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            (lhs, rhs, lhs))
         y = jax.lax.conv_general_dilated(
-            x, params["kernel"].astype(x.dtype), self._strides(), pad,
+            x, kernel, strides, pad,
             dimension_numbers=dn, feature_group_count=self.feature_group_count,
             preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
         )

@@ -202,7 +202,7 @@ class Trainer:
     def fit(self, train_stream: Iterator[Dict[str, np.ndarray]],
             val_dataset=None, num_steps: Optional[int] = None,
             log: Callable[[str], None] = print,
-            checkpointer=None) -> Tuple[TrainState, Dict]:
+            checkpointer=None, metric_writer=None) -> Tuple[TrainState, Dict]:
         tcfg = self.cfg.train
         num_steps = num_steps or tcfg.num_steps
         state = self.init_state()
@@ -214,7 +214,12 @@ class Trainer:
         seen = 0
         use_a, use_v = self.cfg.model.use_audio, self.cfg.model.use_video
         start_step = int(state.step)
+        profiling = False
         for i in range(start_step, num_steps):
+            if tcfg.profile_dir and i == start_step + 2 and not profiling:
+                # skip the compile step, then trace a window of real steps
+                jax.profiler.start_trace(tcfg.profile_dir)
+                profiling = True
             host_batch = next(train_stream)
             feed = {"labels": host_batch["labels"], "mask": host_batch["mask"]}
             if use_v:
@@ -224,18 +229,32 @@ class Trainer:
             batch = shard_batch(self.mesh, feed)
             state, metrics = train_step(state, batch)
             seen += host_batch["labels"].shape[0] * host_batch["labels"].shape[1]
+            if profiling and i >= start_step + 2 + 10:
+                jax.profiler.stop_trace()
+                profiling = False
             if (i + 1) % tcfg.log_every == 0 or i + 1 == num_steps:
                 loss = float(metrics["loss"])  # sync point
                 dt = time.time() - t0
                 history["loss"].append(loss)
+                cps = seen / dt
                 log(f"step {i+1}/{num_steps} loss={loss:.4f} "
                     f"batch_ccc={float(metrics['batch_ccc']):.4f} "
-                    f"clips/s={seen/dt:.1f}")
+                    f"clips/s={cps:.1f}")
+                if metric_writer is not None:
+                    metric_writer.write(i + 1, {
+                        "loss": loss,
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "clips_per_sec": cps,
+                    })
                 t0, seen = time.time(), 0
             if val_dataset is not None and (i + 1) % tcfg.eval_every == 0:
                 ev = self.evaluate(state, val_dataset)
                 log(f"  eval @{i+1}: ccc_v={ev['ccc_v']:.4f} ccc_a={ev['ccc_a']:.4f}")
                 history.setdefault("eval", []).append(ev)
+                if metric_writer is not None:
+                    metric_writer.write(i + 1, {f"eval_{k}": v for k, v in ev.items()})
             if checkpointer is not None and (i + 1) % tcfg.checkpoint_every == 0:
                 checkpointer.save(state)
+        if profiling:
+            jax.profiler.stop_trace()
         return state, history

@@ -1,0 +1,60 @@
+"""Integration gate (SURVEY §4): tiny audio-only end-to-end training on CPU —
+wav → fused mel → CNN → BiGRU → CCC loss → optax steps → loss decreases;
+then full-video sliding-window eval runs and checkpoint resume works."""
+
+import numpy as np
+
+from m3f.pytorch_tpu.config import (AudioNetConfig, DataConfig,
+                                    ExperimentConfig, GRUConfig, MeshConfig,
+                                    ModelConfig, OptimConfig, TrainConfig,
+                                    WindowConfig)
+from m3f.pytorch_tpu.data.synthetic import SyntheticAVDataset
+from m3f.pytorch_tpu.data.windowing import WindowSequencer, example_stream
+from m3f.pytorch_tpu.train.checkpoint import Checkpointer
+from m3f.pytorch_tpu.train.loop import Trainer
+
+
+def tiny_audio_cfg(num_steps=12, ckpt_dir="/tmp/m3f_it_ckpt"):
+    return ExperimentConfig(
+        name="it_audio",
+        model=ModelConfig(
+            use_audio=True, use_video=False,
+            audio=AudioNetConfig(channels=(8, 16), feature_dim=16),
+            gru=GRUConfig(hidden_size=16),
+        ),
+        window=WindowConfig(windows_per_clip=2),
+        data=DataConfig(synthetic_num_videos=2, synthetic_video_frames=96,
+                        image_size=16),
+        train=TrainConfig(batch_size=4, num_steps=num_steps, log_every=4,
+                          eval_every=10_000, checkpoint_every=10_000,
+                          checkpoint_dir=ckpt_dir,
+                          optim=OptimConfig(learning_rate=3e-3),
+                          mesh=MeshConfig(num_data=1)),
+    )
+
+
+def test_audio_only_trains_and_evals(tmp_path):
+    cfg = tiny_audio_cfg(ckpt_dir=str(tmp_path))
+    tr = Trainer(cfg)
+    ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+    seq = WindowSequencer(cfg.window, cfg.model.mel,
+                          mel_frames=cfg.model.audio.mel_frames_per_window)
+    stream = example_stream(ds, seq, cfg.train.batch_size, seed=0)
+    ck = Checkpointer(str(tmp_path), keep=2, cfg=cfg)
+    state, hist = tr.fit(stream, log=lambda s: None, checkpointer=ck)
+    losses = hist["loss"]
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert np.isfinite(losses[-1])
+
+    # sliding-window full-video eval produces per-frame preds and finite CCC
+    r = tr.evaluate_video(state, ds.load_video(ds.video_ids()[0]))
+    assert r["pred"].shape == (cfg.data.synthetic_video_frames, 2)
+    assert np.isfinite(r["ccc_v"]) and np.isfinite(r["ccc_a"])
+    assert (np.abs(r["pred"]) <= 1.0).all()
+
+    # resume: restored state continues from the saved step
+    ck.save(state)
+    cfg2 = tiny_audio_cfg(num_steps=14, ckpt_dir=str(tmp_path))
+    tr2 = Trainer(cfg2)
+    restored = ck.maybe_restore(tr2.init_state(), tr2)
+    assert int(restored.step) == int(state.step)
