@@ -132,9 +132,20 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Summarize a jax.profiler trace directory (device op-time breakdown)."""
+    from m3f.pytorch_tpu.utils.profiling import summarize_trace
+    for row in summarize_trace(args.dir, top=args.top):
+        print(f"{row['ms']:10.2f} ms {row['percent']:5.1f}%  {row['op']}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="m3f", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
+    sp = sub.add_parser("profile", help="summarize a profiler trace dir")
+    sp.add_argument("dir")
+    sp.add_argument("--top", type=int, default=15)
     for name in ("train", "eval", "predict"):
         sp = sub.add_parser(name)
         sp.add_argument("--preset", default="fusion", choices=sorted(PRESETS))
@@ -149,6 +160,8 @@ def main(argv=None) -> int:
             sp.add_argument("--smooth", type=int, default=1,
                             help="moving-average smoothing window (frames)")
     args = p.parse_args(argv)
+    if args.cmd == "profile":
+        return cmd_profile(args)
     from m3f.pytorch_tpu.cache import enable_persistent_cache
     enable_persistent_cache()
     cfg = build_config(args.preset, args.overrides)

@@ -1,0 +1,72 @@
+"""Tooling: torch-checkpoint import script + profiler trace summarizer."""
+
+import gzip
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow  # cold jax+torch subprocess startup dominates (~minutes)
+def test_import_torch_checkpoint_script(tmp_path):
+    import torch
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from torch_golden import AudioCNNGolden
+
+    torch.manual_seed(0)
+    m = AudioCNNGolden()
+    pt = str(tmp_path / "audio.pth")
+    torch.save({"state_dict": m.state_dict()}, pt)
+
+    out = str(tmp_path / "audio.npz")
+    r = subprocess.run([sys.executable,
+                        os.path.join(REPO, "scripts", "import_torch_checkpoint.py"),
+                        pt, out, "--kind", "audio_cnn"],
+                       capture_output=True, text=True,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+
+    # converted params load against the jax model template
+    from m3f.pytorch_tpu.config import AudioNetConfig
+    from m3f.pytorch_tpu.models.audio import AudioCNN
+    from m3f.pytorch_tpu.train.checkpoint import load_pytree
+    import jax
+    model = AudioCNN(AudioNetConfig())
+    params, state = model.init(jax.random.PRNGKey(0))
+    loaded = load_pytree({"params": params, "state": state}, out)
+    # spot check: first conv kernel matches the torch weight (OIHW→HWIO)
+    w_t = m.state_dict()
+    first = sorted(k for k in w_t if k.endswith("weight") and w_t[k].ndim == 4)[0]
+    want = w_t[first].numpy().transpose(2, 3, 1, 0)
+    got_leaves = [np.asarray(l) for l in jax.tree.leaves(loaded["params"])
+                  if np.asarray(l).shape == want.shape]
+    assert any(np.allclose(g, want, atol=1e-6) for g in got_leaves)
+
+
+def test_summarize_trace(tmp_path):
+    from m3f.pytorch_tpu.utils.profiling import summarize_trace
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "jit_step(123)", "dur": 10000, "ts": 0},
+        {"ph": "X", "pid": 3, "tid": 2, "name": "fusion.1", "dur": 6000, "ts": 0},
+        {"ph": "X", "pid": 3, "tid": 2, "name": "fusion.2", "dur": 1000, "ts": 0},
+        {"ph": "X", "pid": 3, "tid": 2, "name": "convert_reduce_fusion.9", "dur": 3000, "ts": 0},
+        {"ph": "X", "pid": 9, "tid": 3, "name": "host_stuff", "dur": 99999, "ts": 0},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    rows = summarize_trace(str(tmp_path))
+    assert rows[0]["op"] == "fusion" and abs(rows[0]["ms"] - 7.0) < 1e-6
+    assert abs(rows[0]["percent"] - 70.0) < 1e-6
+    assert {r["op"] for r in rows} == {"fusion", "convert_reduce_fusion"}
