@@ -126,6 +126,24 @@ class Trainer:
             return preds
         return jax.jit(fwd)
 
+    def make_sharded_eval_forward(self) -> Callable:
+        """C-P2: eval forward with the window batch sharded over 'data'.
+
+        Runs the conv backbones (~all the FLOPs) embarrassingly parallel
+        across the mesh for full-video evaluation; host API matches
+        ``make_eval_forward`` but takes/returns numpy and pads the batch to
+        the mesh size (parallel/seqpar.py).
+        """
+        from m3f.pytorch_tpu.parallel.seqpar import make_sharded_eval_forward
+
+        def apply_fn(params, bn_state, batch):
+            preds, _ = self.model.apply(
+                params, bn_state,
+                video=batch.get("video"), wav=batch.get("wav"),
+                mel=batch.get("mel"), train=False)
+            return preds
+        return make_sharded_eval_forward(self.mesh, apply_fn)
+
     # -- full-video sliding-window eval (config 4, [B:10]) ----------------
 
     def evaluate_video(self, state: TrainState, video: Dict[str, np.ndarray],
@@ -162,16 +180,29 @@ class Trainer:
             batches.append({"video": np.stack(vids)[None].astype(np.uint8),
                             "wav": np.stack(wavs)[None].astype(np.float32)})
 
-        preds = []
-        for b in batches:
+        n_data = self.mesh.shape.get("data", 1)
+        if n_data > 1:
+            # C-P2: one sharded call over the whole video's sequence batch —
+            # the conv backbones split across the mesh (seqpar.py)
+            sharded_fwd = self.make_sharded_eval_forward()
             feed = {}
             if mcfg.use_video:
-                feed["video"] = b["video"]
+                feed["video"] = np.concatenate([b["video"] for b in batches])
             if mcfg.use_audio:
-                feed["wav"] = b["wav"]
-            p = eval_fwd(state.params, state.bn_state, feed)       # [1, W, 2]
-            preds.append(np.asarray(p)[0])
-        win_preds = np.concatenate(preds, axis=0)[:n_win]          # drop pad
+                feed["wav"] = np.concatenate([b["wav"] for b in batches])
+            win_preds = sharded_fwd(state.params, state.bn_state, feed)
+            win_preds = win_preds.reshape(-1, win_preds.shape[-1])[:n_win]
+        else:
+            preds = []
+            for b in batches:
+                feed = {}
+                if mcfg.use_video:
+                    feed["video"] = b["video"]
+                if mcfg.use_audio:
+                    feed["wav"] = b["wav"]
+                p = eval_fwd(state.params, state.bn_state, feed)   # [1, W, 2]
+                preds.append(np.asarray(p)[0])
+            win_preds = np.concatenate(preds, axis=0)[:n_win]      # drop pad
 
         stitched = np.asarray(stitch_overlap_average(
             jnp.asarray(win_preds), jnp.asarray(starts), n, L))     # [n, 2]
