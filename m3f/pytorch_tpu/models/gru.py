@@ -102,11 +102,16 @@ class BiGRU:
 
     Output is [B, T, 2H] (forward‖backward concat per timestep). Both
     directions of a layer run as ONE batched scan over a [T, 2B, ...] stack.
+
+    ``backend="pallas"`` routes the recurrence through the VMEM-resident
+    pallas kernel (ops/pallas/gru_pallas.py) — two calls per layer, one per
+    direction; default stays on the XLA scan.
     """
 
     in_dim: int
     hidden: int
     num_layers: int = 1
+    backend: str = "xla"
 
     def layer_dims(self):
         dims = [self.in_dim] + [2 * self.hidden] * (self.num_layers - 1)
@@ -130,6 +135,15 @@ class BiGRU:
             # fused input projections for both directions: two MXU matmuls
             xp_f = h @ pf["w_ih"].astype(h.dtype) + pf["b_ih"].astype(h.dtype)
             xp_b = h @ pb["w_ih"].astype(h.dtype) + pb["b_ih"].astype(h.dtype)
+            if self.backend == "pallas":
+                from m3f.pytorch_tpu.ops.pallas.gru_pallas import gru_scan_pallas
+                ys_f = gru_scan_pallas(jnp.swapaxes(xp_f, 0, 1),
+                                       pf["w_hh"], pf["b_hh"])
+                ys_b = gru_scan_pallas(jnp.swapaxes(xp_b, 0, 1)[::-1],
+                                       pb["w_hh"], pb["b_hh"])
+                h = jnp.concatenate([jnp.swapaxes(ys_f, 0, 1),
+                                     jnp.swapaxes(ys_b[::-1], 0, 1)], axis=-1)
+                continue
             # stack [T, 2B, 3H]: lane 0 = forward in time order, lane 1 = reversed
             xp = jnp.concatenate([
                 jnp.swapaxes(xp_f, 0, 1),

@@ -1,0 +1,85 @@
+"""Pallas kernel: GRU recurrence with VMEM-resident hidden state.
+
+SURVEY.md §7 step 8 Pallas candidate: "GRU scan (small-matmul latency-bound)".
+The XLA path (models/gru.py) lowers the recurrence to a `lax.scan` whose body
+is one small [B, H]×[H, 3H] matmul plus VPU gate math — each step is a
+separate XLA loop iteration with its own HBM round-trip for h.  This kernel
+runs the WHOLE sequence inside one pallas_call: h lives in VMEM scratch for
+all T steps, w_hh stays resident, and only the per-step output row is written
+back — the minimum traffic the recurrence permits.
+
+Torch-parity equations and (r, z, n) gate order, same as models/gru.py; the
+input projection x@W_ih + b_ih is hoisted OUT of the kernel (one big MXU
+matmul over all timesteps) exactly like the XLA path.
+
+Flag-gated usage: GRUConfig/BiGRU callers opt in; the XLA scan remains the
+default (at W=4 window sequences the GRU is ~0% of the step — this kernel
+targets long-sequence inference, config 4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gru_kernel(xp_ref, whh_ref, bhh_ref, out_ref, h_scratch, *, t_steps: int,
+                hidden: int):
+    h_scratch[:] = jnp.zeros_like(h_scratch)
+
+    def body(t, _):
+        xp_t = xp_ref[t]                                   # [B, 3H]
+        h = h_scratch[:]                                   # [B, H] fp32
+        hp = jnp.dot(h.astype(whh_ref.dtype), whh_ref[:],
+                     preferred_element_type=jnp.float32) + bhh_ref[:]
+        xr = xp_t[:, :hidden].astype(jnp.float32)
+        xz = xp_t[:, hidden:2 * hidden].astype(jnp.float32)
+        xn = xp_t[:, 2 * hidden:].astype(jnp.float32)
+        hr, hz, hn = hp[:, :hidden], hp[:, hidden:2 * hidden], hp[:, 2 * hidden:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h_scratch[:] = h_new
+        out_ref[t] = h_new.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, t_steps, body, 0)
+
+
+def gru_scan_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Run the GRU recurrence over a pre-projected sequence.
+
+    x_proj: [T, B, 3H] (x@W_ih + b_ih already added, any float dtype)
+    w_hh:   [H, 3H], b_hh: [3H]
+    returns [T, B, H] hidden states in x_proj's dtype.
+
+    Drop-in replacement for models.gru._gru_scan (reverse handled by the
+    caller flipping the time axis, as in the XLA path).
+    """
+    t, b, th = x_proj.shape
+    h = w_hh.shape[0]
+    assert th == 3 * h
+    kernel = functools.partial(_gru_kernel, t_steps=t, hidden=h)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, h), x_proj.dtype),
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * b * h * 3 * h,
+            bytes_accessed=x_proj.size * x_proj.dtype.itemsize * 2,
+            transcendentals=3 * t * b * h,
+        ),
+        interpret=interpret,
+    )(x_proj, w_hh.astype(jnp.float32), b_hh.astype(jnp.float32))

@@ -1,0 +1,38 @@
+"""Pallas GRU scan kernel vs the XLA lax.scan path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from m3f.pytorch_tpu.models.gru import BiGRU, _gru_scan
+from m3f.pytorch_tpu.ops.pallas.gru_pallas import gru_scan_pallas
+
+
+def test_gru_scan_pallas_matches_xla():
+    rng = np.random.RandomState(0)
+    T, B, H = 12, 8, 16
+    xp = jnp.asarray(rng.randn(T, B, 3 * H).astype(np.float32))
+    w_hh = jnp.asarray(rng.randn(H, 3 * H).astype(np.float32) * 0.1)
+    b_hh = jnp.asarray(rng.randn(3 * H).astype(np.float32) * 0.1)
+    with jax.default_matmul_precision("highest"):
+        want = _gru_scan(xp, jnp.zeros((B, H), jnp.float32), w_hh, b_hh)
+        got = gru_scan_pallas(xp, w_hh, b_hh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bigru_pallas_backend_matches_xla(monkeypatch):
+    # route the pallas backend through interpret mode (CPU test backend)
+    import m3f.pytorch_tpu.ops.pallas.gru_pallas as gp
+    orig = gp.gru_scan_pallas
+    monkeypatch.setattr(gp, "gru_scan_pallas",
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+    rng = np.random.RandomState(1)
+    B, T, D, H = 2, 6, 8, 8
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    params = BiGRU(D, H).init(jax.random.PRNGKey(0))
+    with jax.default_matmul_precision("highest"):
+        want = BiGRU(D, H, backend="xla").apply(params, x)
+        got = BiGRU(D, H, backend="pallas").apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
