@@ -44,9 +44,12 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-// Decode one JPEG file to RGB; returns {w, h} and fills `pixels`.
-bool decode_jpeg_file(const char* path, std::vector<uint8_t>& pixels, int* w,
-                      int* h) {
+// Decode one JPEG file to RGB.  If the image is exactly out_w×out_h it is
+// decoded STRAIGHT into `direct` (no scratch, no copy — the common case for
+// pre-cropped 112×112 faces); otherwise it lands in `pixels` for resizing.
+// Returns false on failure; *w/*h get the source dimensions.
+bool decode_jpeg_file(const char* path, std::vector<uint8_t>& pixels,
+                      uint8_t* direct, int out_w, int out_h, int* w, int* h) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
 
@@ -68,10 +71,21 @@ bool decode_jpeg_file(const char* path, std::vector<uint8_t>& pixels, int* w,
   *w = cinfo.output_width;
   *h = cinfo.output_height;
   const int stride = *w * 3;
-  pixels.resize(static_cast<size_t>(stride) * *h);
+  uint8_t* dst;
+  if (direct && *w == out_w && *h == out_h) {
+    dst = direct;
+  } else {
+    pixels.resize(static_cast<size_t>(stride) * *h);
+    dst = pixels.data();
+  }
+  // read in max-sized batches — libjpeg-turbo SIMD paths like large requests
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = pixels.data() + static_cast<size_t>(cinfo.output_scanline) * stride;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+    uint8_t* rows[64];
+    const unsigned remaining = cinfo.output_height - cinfo.output_scanline;
+    const unsigned batch = remaining < 64 ? remaining : 64;
+    for (unsigned i = 0; i < batch; ++i)
+      rows[i] = dst + static_cast<size_t>(cinfo.output_scanline + i) * stride;
+    jpeg_read_scanlines(&cinfo, rows, batch);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
@@ -163,10 +177,12 @@ int m3f_decode_jpeg_batch(const char** paths, int n, uint8_t* out, int out_h,
     }
     thread_local std::vector<uint8_t> scratch;
     int w = 0, h = 0;
-    if (decode_jpeg_file(paths[i], scratch, &w, &h)) {
-      resize_bilinear(scratch.data(), w, h, out + i * img_bytes, out_w, out_h);
+    uint8_t* slot = out + i * img_bytes;
+    if (decode_jpeg_file(paths[i], scratch, slot, out_w, out_h, &w, &h)) {
+      if (w != out_w || h != out_h)
+        resize_bilinear(scratch.data(), w, h, slot, out_w, out_h);
     } else {
-      memset(out + i * img_bytes, 0, img_bytes);
+      memset(slot, 0, img_bytes);
       failed.fetch_add(1);
     }
   });
