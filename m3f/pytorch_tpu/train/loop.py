@@ -73,6 +73,7 @@ class Trainer:
         self.tx = make_optimizer(self.cfg.train.optim)
         self.mesh = create_mesh(self.cfg.train.mesh.num_data,
                                 self.cfg.train.mesh.num_model)
+        self._video_eval_fn = None  # cached jit of make_video_eval_fn
 
     # -- state ------------------------------------------------------------
 
@@ -126,6 +127,42 @@ class Trainer:
             return preds
         return jax.jit(fwd)
 
+    def make_video_eval_fn(self) -> Callable:
+        """Whole-video eval in ONE jit call with ON-DEVICE windowing.
+
+        The host sends each frame/sample exactly once (frames [N, S, S, 3]
+        uint8 + waveform [T]); the overlapping 16-frame windows are gathered
+        on device from a ``starts`` index array inside the jit region — no
+        host window slicing, no duplicate H2D bytes for overlapped strides
+        (the BASELINE north-star "face-crop/resize/normalize ... become fused
+        preprocessing kernels feeding the backbone").
+
+        Shapes are bucketed by the caller so a handful of compiles cover a
+        whole dataset of variable-length videos.
+        """
+        mcfg = self.cfg.model
+        L = self.cfg.window.window_frames
+        W = self.cfg.window.windows_per_clip
+        spw = (mcfg.audio.mel_frames_per_window - 1) * mcfg.mel.hop_length
+
+        def fn(params, bn_state, starts, sample_starts, frames=None, wav=None):
+            n_win = starts.shape[0]
+            feed = {}
+            if frames is not None:
+                idx = starts[:, None] + jnp.arange(L)[None, :]     # [Nw, L]
+                win = frames[idx]                                  # [Nw, L, S, S, 3]
+                feed["video"] = win.reshape((n_win // W, W) + win.shape[1:])
+            if wav is not None:
+                sidx = sample_starts[:, None] + jnp.arange(spw)[None, :]
+                sw = wav[sidx]                                     # [Nw, spw]
+                feed["wav"] = sw.reshape(n_win // W, W, spw)
+            preds, _ = self.model.apply(
+                params, bn_state, video=feed.get("video"),
+                wav=feed.get("wav"), train=False)
+            return preds.reshape(n_win, -1)
+
+        return jax.jit(fn)
+
     def make_sharded_eval_forward(self) -> Callable:
         """C-P2: eval forward with the window batch sharded over 'data'.
 
@@ -156,53 +193,60 @@ class Trainer:
         L, W = wcfg.window_frames, wcfg.windows_per_clip
         starts = window_starts(n, L, wcfg.eval_stride)            # [Nw]
 
-        # group consecutive windows into length-W GRU sequences (pad tail by
-        # repeating the last window; padded entries are dropped after forward)
         n_win = len(starts)
-        n_pad = (-n_win) % W
-        starts_padded = np.concatenate([starts, np.repeat(starts[-1:], n_pad)])
-        exs = [starts_padded[si:si + W] for si in range(0, len(starts_padded), W)]
-        # build examples window-by-window (the tail stride is irregular, so
-        # each window is cut independently rather than via WindowSequencer)
-        batches = []
         spw = (mcfg.audio.mel_frames_per_window - 1) * mcfg.mel.hop_length
         sr = mcfg.mel.sample_rate
-        for chunk in exs:
-            vids, wavs = [], []
-            for fs in chunk:
-                fs = int(fs)
-                vids.append(video["frames"][fs:fs + L])
-                ss = int(round(fs / self.cfg.data.fps * sr))
-                seg = video["waveform"][ss:ss + spw]
-                if len(seg) < spw:
-                    seg = np.pad(seg, (0, spw - len(seg)))
-                wavs.append(seg)
-            batches.append({"video": np.stack(vids)[None].astype(np.uint8),
-                            "wav": np.stack(wavs)[None].astype(np.float32)})
 
         n_data = self.mesh.shape.get("data", 1)
         if n_data > 1:
             # C-P2: one sharded call over the whole video's sequence batch —
             # the conv backbones split across the mesh (seqpar.py)
+            n_pad = (-n_win) % W
+            starts_padded = np.concatenate([starts, np.repeat(starts[-1:], n_pad)])
             sharded_fwd = self.make_sharded_eval_forward()
             feed = {}
             if mcfg.use_video:
-                feed["video"] = np.concatenate([b["video"] for b in batches])
+                vids = np.stack([video["frames"][int(fs):int(fs) + L]
+                                 for fs in starts_padded])
+                feed["video"] = vids.reshape((-1, W) + vids.shape[1:]).astype(np.uint8)
             if mcfg.use_audio:
-                feed["wav"] = np.concatenate([b["wav"] for b in batches])
+                wavs = []
+                for fs in starts_padded:
+                    ss = int(round(int(fs) / self.cfg.data.fps * sr))
+                    seg = video["waveform"][ss:ss + spw]
+                    if len(seg) < spw:
+                        seg = np.pad(seg, (0, spw - len(seg)))
+                    wavs.append(seg)
+                feed["wav"] = np.stack(wavs).reshape(-1, W, spw).astype(np.float32)
             win_preds = sharded_fwd(state.params, state.bn_state, feed)
             win_preds = win_preds.reshape(-1, win_preds.shape[-1])[:n_win]
         else:
-            preds = []
-            for b in batches:
-                feed = {}
-                if mcfg.use_video:
-                    feed["video"] = b["video"]
-                if mcfg.use_audio:
-                    feed["wav"] = b["wav"]
-                p = eval_fwd(state.params, state.bn_state, feed)   # [1, W, 2]
-                preds.append(np.asarray(p)[0])
-            win_preds = np.concatenate(preds, axis=0)[:n_win]      # drop pad
+            # single device: ONE jit call, windows gathered ON DEVICE — each
+            # frame/sample crosses the host↔device link exactly once
+            # (make_video_eval_fn). Shapes bucketed for compile reuse.
+            eval_fn = self._video_eval_fn or self.make_video_eval_fn()
+            self._video_eval_fn = eval_fn
+            win_bucket = 8 * W
+            n_win_pad = -(-max(n_win, 1) // win_bucket) * win_bucket
+            starts_padded = np.concatenate(
+                [starts, np.repeat(starts[-1:], n_win_pad - n_win)])
+            frame_bucket = 256
+            n_frames_pad = -(-n // frame_bucket) * frame_bucket + L
+            kw = {}
+            if mcfg.use_video:
+                frames = video["frames"]
+                kw["frames"] = np.pad(
+                    frames, [(0, n_frames_pad - len(frames))] + [(0, 0)] * 3)
+            if mcfg.use_audio:
+                need = int(round(n_frames_pad / self.cfg.data.fps * sr)) + spw
+                wav = video["waveform"]
+                kw["wav"] = np.pad(wav, (0, max(0, need - len(wav)))).astype(np.float32)
+            sample_starts = np.round(
+                starts_padded / self.cfg.data.fps * sr).astype(np.int32)
+            p = eval_fn(state.params, state.bn_state,
+                        jnp.asarray(starts_padded, jnp.int32),
+                        jnp.asarray(sample_starts), **kw)
+            win_preds = np.asarray(p)[:n_win]
 
         stitched = np.asarray(stitch_overlap_average(
             jnp.asarray(win_preds), jnp.asarray(starts), n, L))     # [n, 2]
