@@ -123,6 +123,7 @@ class DataConfig:
     synthetic_video_frames: int = 128
     num_workers: int = 4
     prefetch: int = 2
+    shuffle_buffer: int = 256   # cross-video example mixing (0 = off)
 
 
 @dataclass(frozen=True)

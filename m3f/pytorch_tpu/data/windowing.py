@@ -89,30 +89,54 @@ def batch_examples(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarra
 
 
 def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
-                   seed: int = 0, loop: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                   seed: int = 0, loop: bool = True,
+                   shuffle_buffer: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled (video, start) example stream → batched dict iterator.
 
     Loads one video at a time (videos are large); shuffles across the
-    per-video example index. The C++/threaded prefetch loader wraps this.
+    per-video example index. ``shuffle_buffer > 0`` additionally mixes
+    examples ACROSS videos through a reservoir of that size (videos are
+    visited in random order either way, but without a buffer each batch is
+    drawn from one video at a time). The C++/threaded prefetch loader
+    (data/native_loader.Prefetcher) wraps this.
     """
     rng = np.random.RandomState(seed)
     ids = dataset.video_ids()
     assert ids, "dataset has no videos"
+
+    def gen_examples():
+        while True:
+            order = rng.permutation(len(ids))
+            for vi in order:
+                video = dataset.load_video(ids[vi])
+                starts = sequencer.example_starts(len(video["labels"]))
+                rng.shuffle(starts)
+                for s in starts:
+                    yield sequencer.cut(video, s)
+            if not loop:
+                return
+
+    gen = gen_examples()
     # batch persists ACROSS epochs: an epoch smaller than batch_size must
     # keep accumulating, not discard and spin forever
     batch: List[Dict[str, np.ndarray]] = []
-    while True:
-        order = rng.permutation(len(ids))
-        for vi in order:
-            video = dataset.load_video(ids[vi])
-            starts = sequencer.example_starts(len(video["labels"]))
-            rng.shuffle(starts)
-            for s in starts:
-                batch.append(sequencer.cut(video, s))
-                if len(batch) == batch_size:
-                    yield batch_examples(batch)
-                    batch = []
-        if not loop:
-            if batch:
-                yield batch_examples(batch)
-            return
+    pool: List[Dict[str, np.ndarray]] = []
+    for ex in gen:
+        if shuffle_buffer > 1:
+            pool.append(ex)
+            if len(pool) < shuffle_buffer:
+                continue
+            ex = pool.pop(rng.randint(len(pool)))
+        batch.append(ex)
+        if len(batch) == batch_size:
+            yield batch_examples(batch)
+            batch = []
+    # drain (finite stream only)
+    rng.shuffle(pool)
+    for ex in pool:
+        batch.append(ex)
+        if len(batch) == batch_size:
+            yield batch_examples(batch)
+            batch = []
+    if batch:
+        yield batch_examples(batch)

@@ -75,7 +75,8 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
                           mel_frames=cfg.model.audio.mel_frames_per_window)
     from m3f.pytorch_tpu.data.native_loader import Prefetcher
     stream = Prefetcher(
-        example_stream(ds, seq, cfg.train.batch_size, seed=cfg.train.seed),
+        example_stream(ds, seq, cfg.train.batch_size, seed=cfg.train.seed,
+                       shuffle_buffer=cfg.data.shuffle_buffer),
         depth=cfg.data.prefetch)
     val = make_dataset(cfg, "val") if args.eval_during_training else None
     ckpt = Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints, cfg)

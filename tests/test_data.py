@@ -68,6 +68,22 @@ def test_example_stream_batching():
     assert not np.array_equal(b["video"], b2["video"])
 
 
+def test_shuffle_buffer_mixes_and_preserves_examples():
+    ds = SyntheticAVDataset(DATA, MEL)
+    seq = WindowSequencer(WIN, MEL)
+    # finite stream: same multiset of labels with and without buffer
+    def collect(buf):
+        out = []
+        for b in example_stream(ds, seq, batch_size=1, seed=0, loop=False,
+                                shuffle_buffer=buf):
+            out.append(b["labels"].tobytes())
+        return out
+    plain = collect(0)
+    mixed = collect(64)
+    assert sorted(plain) == sorted(mixed)
+    assert len(plain) == len(mixed)
+
+
 def test_example_starts_respect_bounds():
     seq = WindowSequencer(WIN, MEL)
     starts = seq.example_starts(200)
