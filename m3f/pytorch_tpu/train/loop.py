@@ -73,7 +73,8 @@ class Trainer:
         self.tx = make_optimizer(self.cfg.train.optim)
         self.mesh = create_mesh(self.cfg.train.mesh.num_data,
                                 self.cfg.train.mesh.num_model)
-        self._video_eval_fn = None  # cached jit of make_video_eval_fn
+        self._video_eval_fn = None    # cached jit of make_video_eval_fn
+        self._sharded_eval_fn = None  # cached jit of make_sharded_eval_forward
 
     # -- state ------------------------------------------------------------
 
@@ -203,7 +204,8 @@ class Trainer:
             # the conv backbones split across the mesh (seqpar.py)
             n_pad = (-n_win) % W
             starts_padded = np.concatenate([starts, np.repeat(starts[-1:], n_pad)])
-            sharded_fwd = self.make_sharded_eval_forward()
+            sharded_fwd = self._sharded_eval_fn or self.make_sharded_eval_forward()
+            self._sharded_eval_fn = sharded_fwd
             feed = {}
             if mcfg.use_video:
                 vids = np.stack([video["frames"][int(fs):int(fs) + L]
