@@ -58,3 +58,16 @@ def test_audio_only_trains_and_evals(tmp_path):
     tr2 = Trainer(cfg2)
     restored = ck.maybe_restore(tr2.init_state(), tr2)
     assert int(restored.step) == int(state.step)
+
+
+def test_eval_all_invalid_video_stays_finite(tmp_path):
+    """Degenerate: every frame invalid → CCC must be finite (0), not NaN."""
+    cfg = tiny_audio_cfg(ckpt_dir=str(tmp_path))
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+    video = ds.load_video(ds.video_ids()[0])
+    video["valid"][:] = False
+    r = tr.evaluate_video(state, video)
+    assert np.isfinite(r["ccc_v"]) and np.isfinite(r["ccc_a"])
+    assert np.isfinite(r["pred"]).all()
