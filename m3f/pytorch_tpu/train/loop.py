@@ -30,7 +30,8 @@ from m3f.pytorch_tpu.config import ExperimentConfig, OptimConfig
 from m3f.pytorch_tpu.data.windowing import WindowSequencer, batch_examples
 from m3f.pytorch_tpu.models.m3f import M3F
 from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss
-from m3f.pytorch_tpu.ops.stitch import (clip_predictions, interpolate_gaps,
+from m3f.pytorch_tpu.ops.stitch import (clip_predictions, coverage_matrix,
+                                        interpolate_gaps,
                                         stitch_overlap_average, window_starts)
 from m3f.pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
                                            replicated, shard_batch)
@@ -146,7 +147,8 @@ class Trainer:
         W = self.cfg.window.windows_per_clip
         spw = (mcfg.audio.mel_frames_per_window - 1) * mcfg.mel.hop_length
 
-        def fn(params, bn_state, starts, sample_starts, frames=None, wav=None):
+        def fn(params, bn_state, starts, sample_starts, win_valid,
+               labels, frame_valid, frames=None, wav=None):
             n_win = starts.shape[0]
             feed = {}
             if frames is not None:
@@ -160,7 +162,17 @@ class Trainer:
             preds, _ = self.model.apply(
                 params, bn_state, video=feed.get("video"),
                 wav=feed.get("wav"), train=False)
-            return preds.reshape(n_win, -1)
+            win_preds = preds.reshape(n_win, -1)
+            # stitch + clip + CCC fused into the SAME call — one device
+            # round-trip per video (padded windows masked out of coverage)
+            nf = labels.shape[0]
+            m = coverage_matrix(starts, nf, L) * win_valid[None, :].astype(jnp.float32)
+            num = jnp.matmul(m, win_preds.astype(jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST)
+            den = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            stitched = jnp.clip(num / den, -1.0, 1.0)              # [NF, 2]
+            per_dim = ccc(stitched, labels, mask=frame_valid[:, None], axis=(0,))
+            return stitched, per_dim
 
         return jax.jit(fn)
 
@@ -223,15 +235,18 @@ class Trainer:
             win_preds = sharded_fwd(state.params, state.bn_state, feed)
             win_preds = win_preds.reshape(-1, win_preds.shape[-1])[:n_win]
         else:
-            # single device: ONE jit call, windows gathered ON DEVICE — each
-            # frame/sample crosses the host↔device link exactly once
-            # (make_video_eval_fn). Shapes bucketed for compile reuse.
+            # single device: ONE jit call does windowing (on-device gather),
+            # forward, overlap-average stitch, clip, and per-video CCC — each
+            # frame/sample crosses the host↔device link exactly once and the
+            # host gets back only [NF, 2] preds + 2 scalars.  Shapes bucketed
+            # for compile reuse across variable-length videos.
             eval_fn = self._video_eval_fn or self.make_video_eval_fn()
             self._video_eval_fn = eval_fn
             win_bucket = 8 * W
             n_win_pad = -(-max(n_win, 1) // win_bucket) * win_bucket
             starts_padded = np.concatenate(
                 [starts, np.repeat(starts[-1:], n_win_pad - n_win)])
+            win_valid = np.arange(n_win_pad) < n_win
             frame_bucket = 256
             n_frames_pad = -(-n // frame_bucket) * frame_bucket + L
             kw = {}
@@ -245,10 +260,19 @@ class Trainer:
                 kw["wav"] = np.pad(wav, (0, max(0, need - len(wav)))).astype(np.float32)
             sample_starts = np.round(
                 starts_padded / self.cfg.data.fps * sr).astype(np.int32)
-            p = eval_fn(state.params, state.bn_state,
-                        jnp.asarray(starts_padded, jnp.int32),
-                        jnp.asarray(sample_starts), **kw)
-            win_preds = np.asarray(p)[:n_win]
+            labels_pad = np.full((n_frames_pad, 2), -5.0, np.float32)
+            labels_pad[:n] = video["labels"]
+            valid_pad = np.zeros(n_frames_pad, bool)
+            valid_pad[:n] = video["valid"]
+            stitched_d, per_dim_d = eval_fn(
+                state.params, state.bn_state,
+                jnp.asarray(starts_padded, jnp.int32),
+                jnp.asarray(sample_starts),
+                jnp.asarray(win_valid),
+                jnp.asarray(labels_pad), jnp.asarray(valid_pad), **kw)
+            per_dim = np.asarray(per_dim_d)
+            return {"pred": np.asarray(stitched_d)[:n],
+                    "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1])}
 
         stitched = np.asarray(stitch_overlap_average(
             jnp.asarray(win_preds), jnp.asarray(starts), n, L))     # [n, 2]
