@@ -199,3 +199,66 @@ def export_gru(p: Dict, prefix: str, out: Dict[str, Array]):
             out[_k(prefix, f"weight_hh_{sfx}")] = np.asarray(q["w_hh"]).T
             out[_k(prefix, f"bias_ih_{sfx}")] = np.asarray(q["b_ih"])
             out[_k(prefix, f"bias_hh_{sfx}")] = np.asarray(q["b_hh"])
+
+
+def export_r2plus1d(params: Dict, state: Dict, prefix: str = "",
+                    out: Dict[str, Array] = None,
+                    blocks_per_stage=(2, 2, 2, 2)) -> Dict[str, Array]:
+    """R2Plus1D (params, state) → torchvision VideoResNet state_dict arrays.
+
+    Inverse of convert_r2plus1d; same key schema, so the result loads into
+    ``torchvision.models.video.r2plus1d_18`` (or the golden) directly.
+    """
+    out = {} if out is None else out
+    pf = prefix and prefix + "."
+    export_conv(params["stem"]["conv1"], f"{pf}stem.0", out)
+    export_bn(params["stem"]["bn1"], state["stem"]["bn1"], f"{pf}stem.1", out)
+    export_conv(params["stem"]["conv2"], f"{pf}stem.3", out)
+    export_bn(params["stem"]["bn2"], state["stem"]["bn2"], f"{pf}stem.4", out)
+    flat = list(zip(params["blocks"], state["blocks"]))
+    i = 0
+    for s, n in enumerate(blocks_per_stage, start=1):
+        for b in range(n):
+            bp, bs = flat[i]
+            i += 1
+            base = f"{pf}layer{s}.{b}"
+            for cname in ("conv1", "conv2"):
+                export_conv(bp[cname]["spatial"], f"{base}.{cname}.0.0", out)
+                export_bn(bp[cname]["bn_mid"], bs[cname]["bn_mid"],
+                          f"{base}.{cname}.0.1", out)
+                export_conv(bp[cname]["temporal"], f"{base}.{cname}.0.3", out)
+            export_bn(bp["bn1"], bs["bn1"], f"{base}.conv1.1", out)
+            export_bn(bp["bn2"], bs["bn2"], f"{base}.conv2.1", out)
+            if "down" in bp:
+                export_conv(bp["down"], f"{base}.downsample.0", out)
+                export_bn(bp["bn_down"], bs["bn_down"],
+                          f"{base}.downsample.1", out)
+    return out
+
+
+def export_audio_cnn(params: Dict, state: Dict, prefix: str = "",
+                     out: Dict[str, Array] = None) -> Dict[str, Array]:
+    """AudioCNN (params, state) → golden-schema state_dict arrays."""
+    out = {} if out is None else out
+    pf = prefix and prefix + "."
+    for i, (cp, bp, bs) in enumerate(zip(params["conv"], params["bn"],
+                                         state["bn"])):
+        export_conv(cp, f"{pf}convs.{i}", out)
+        export_bn(bp, bs, f"{pf}bns.{i}", out)
+    export_dense(params["head"], f"{pf}head", out)
+    return out
+
+
+def export_m3f(params: Dict, state: Dict) -> Dict[str, Array]:
+    """Full M3F (params, state) → reference-shaped torch state_dict arrays.
+
+    Inverse of convert_m3f ("checkpoint-compatible weights" both ways).
+    """
+    out: Dict[str, Array] = {}
+    if "visual" in params:
+        export_r2plus1d(params["visual"], state["visual"], "visual", out)
+    if "audio" in params:
+        export_audio_cnn(params["audio"], state["audio"], "audio", out)
+    export_gru(params["gru"], "gru", out)
+    export_dense(params["head"], "head", out)
+    return out
