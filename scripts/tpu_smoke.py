@@ -1,0 +1,91 @@
+"""TPU smoke gate (SURVEY.md §4): one jitted train step per BASELINE config.
+
+Runs each preset's REAL train step once on whatever backend JAX selects
+(the v5e chip in this environment), records compile time and per-step time,
+and writes SMOKE.json — the perf-regression gate for later rounds.
+
+    python scripts/tpu_smoke.py [--out SMOKE.json] [--presets a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+
+import numpy as np
+
+
+def smoke_one(name: str) -> dict:
+    import jax
+    from m3f.pytorch_tpu.config import PRESETS
+    from m3f.pytorch_tpu.data.windowing import samples_per_window
+    from m3f.pytorch_tpu.parallel.mesh import shard_batch
+    from m3f.pytorch_tpu.train.loop import Trainer
+
+    cfg = PRESETS[name]()
+    # modest batch so every preset fits/compiles quickly; mesh = all devices
+    cfg = cfg.replace(train=cfg.train.__class__(
+        batch_size=2 * len(jax.devices()), mesh=cfg.train.mesh))
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    step = tr.make_train_step()
+
+    B = cfg.train.batch_size
+    W, L, S = cfg.window.windows_per_clip, cfg.window.window_frames, cfg.data.image_size
+    spw = samples_per_window(cfg.model.mel, cfg.model.audio.mel_frames_per_window)
+    rng = np.random.RandomState(0)
+    feed = {"labels": rng.uniform(-1, 1, (B, W, 2)).astype(np.float32),
+            "mask": np.ones((B, W), bool)}
+    if cfg.model.use_video:
+        feed["video"] = rng.randint(0, 256, (B, W, L, S, S, 3)).astype(np.uint8)
+    if cfg.model.use_audio:
+        feed["wav"] = rng.randn(B, W, spw).astype(np.float32)
+    batch = shard_batch(tr.mesh, feed)
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch)
+    loss = float(m["loss"])          # value fetch = true sync (axon tunnel)
+    compile_s = time.perf_counter() - t0
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    loss = float(m["loss"])
+    step_ms = (time.perf_counter() - t0) / iters * 1e3
+    assert np.isfinite(loss), f"{name}: non-finite loss"
+    return {"preset": name, "compile_s": round(compile_s, 2),
+            "step_ms": round(step_ms, 2), "loss": round(loss, 4),
+            "clips_per_sec": round(B * W / (step_ms / 1e3), 1)}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="SMOKE.json")
+    ap.add_argument("--presets",
+                    default="audio_only,visual_only,fusion,distributed_train")
+    args = ap.parse_args(argv)
+
+    from m3f.pytorch_tpu.cache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+
+    results = {"backend": jax.default_backend(),
+               "n_devices": len(jax.devices()), "configs": []}
+    for name in args.presets.split(","):
+        print(f"smoke: {name} ...", flush=True)
+        r = smoke_one(name)
+        print(f"  {r}", flush=True)
+        results["configs"].append(r)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
