@@ -76,7 +76,7 @@ class GRUConfig:
     hidden_size: int = 256   # UNVERIFIED vs reference
     num_layers: int = 1      # UNVERIFIED vs reference
     bidirectional: bool = True
-    dropout: float = 0.0
+    backend: str = "xla"     # "xla" lax.scan | "pallas" VMEM-resident kernel
 
 
 @dataclass(frozen=True)

@@ -46,7 +46,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         lib.m3f_decode_jpeg_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
         if lib.m3f_loader_self_test() != 42:
             return None
@@ -71,22 +71,20 @@ def decode_jpeg_batch(paths: Sequence[str], size: int,
     n = len(paths)
     if out is None:
         out = np.empty((n, size, size, 3), dtype=np.uint8)
-    ok = np.ones(n, dtype=bool)
     lib = _load_lib()
     if lib is not None:
         arr = (ctypes.c_char_p * n)(
             *[p.encode() if p and os.path.exists(p) else b"" for p in paths])
-        for i, p in enumerate(paths):
-            if not p or not os.path.exists(p):
-                ok[i] = False
+        ok_u8 = np.zeros(n, dtype=np.uint8)
         n_threads = n_threads or min(8, os.cpu_count() or 1)
         lib.m3f_decode_jpeg_batch(
             arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            size, size, n_threads)
-        # a decode failure inside C++ zeroes the slot; detect via the return
-        # path only for files that existed — re-verify cheap: all-zero frame
-        # of an existing file is overwhelmingly a decode failure
-        return out, ok
+            size, size, n_threads,
+            ok_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        # per-slot status from C: missing files AND corrupt/undecodable
+        # JPEGs both come back ok=0 (slot zeroed), matching the cv2 path
+        return out, ok_u8.astype(bool)
+    ok = np.ones(n, dtype=bool)
     # ---- cv2 fallback ----
     import cv2
     for i, p in enumerate(paths):

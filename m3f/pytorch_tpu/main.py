@@ -81,12 +81,12 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
     val = make_dataset(cfg, "val") if args.eval_during_training else None
     ckpt = Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints, cfg)
     writer = MetricWriter(cfg.train.checkpoint_dir, "train")
-    step_holder = {}
 
     def log(msg):
         print(msg, flush=True)
 
-    ckpt.install_preemption_handler(lambda: step_holder.get("state"))
+    # trainer._last_state is refreshed inside fit() after every step
+    ckpt.install_preemption_handler(lambda: trainer._last_state)
     state, history = trainer.fit(stream, val_dataset=val, log=log,
                                  checkpointer=ckpt, metric_writer=writer)
     ckpt.save(state)
@@ -117,7 +117,6 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
         import jax
         state = load_pytree(jax.device_get(state), args.checkpoint)
     ds = make_dataset(cfg, "val")
-    eval_fwd = trainer.make_eval_forward()
     preds: Dict[str, np.ndarray] = {}
     valids: Dict[str, np.ndarray] = {}
     ids = ds.video_ids()
@@ -125,7 +124,7 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
         ids = ids[: args.max_videos]
     for vid in ids:
         video = ds.load_video(vid)
-        r = trainer.evaluate_video(state, video, eval_fwd)
+        r = trainer.evaluate_video(state, video)
         preds[vid] = r["pred"]
         valids[vid] = video["valid"]
     write_submission(args.out, preds, valids, smooth_window=args.smooth)

@@ -112,25 +112,32 @@ class BiGRU:
     hidden: int
     num_layers: int = 1
     backend: str = "xla"
+    bidirectional: bool = True
 
     def layer_dims(self):
-        dims = [self.in_dim] + [2 * self.hidden] * (self.num_layers - 1)
+        out_mult = 2 if self.bidirectional else 1
+        dims = [self.in_dim] + [out_mult * self.hidden] * (self.num_layers - 1)
         return dims
 
     def init(self, key) -> Params:
         layers = []
         for li, d in enumerate(self.layer_dims()):
             kf, kb, key = jax.random.split(key, 3)
-            layers.append({
-                "fwd": GRU(d, self.hidden).init(kf),
-                "bwd": GRU(d, self.hidden).init(kb),
-            })
+            layer = {"fwd": GRU(d, self.hidden).init(kf)}
+            if self.bidirectional:
+                layer["bwd"] = GRU(d, self.hidden).init(kb)
+            layers.append(layer)
         return {"layers": layers}
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         b, t, _ = x.shape
         h = x
         for li, layer in enumerate(params["layers"]):
+            if not self.bidirectional:
+                # torch nn.GRU(bidirectional=False) parity: forward scan only
+                gru = GRU(self.layer_dims()[li], self.hidden)
+                h = gru.apply(layer["fwd"], h)
+                continue
             pf, pb = layer["fwd"], layer["bwd"]
             # fused input projections for both directions: two MXU matmuls
             xp_f = h @ pf["w_ih"].astype(h.dtype) + pf["b_ih"].astype(h.dtype)

@@ -41,7 +41,9 @@ class M3F:
         audio = AudioCNN(self.cfg.audio) if self.cfg.use_audio else None
         visual = R2Plus1D(self.cfg.visual) if self.cfg.use_video else None
         gru = BiGRU(self.cfg.fused_dim, self.cfg.gru.hidden_size,
-                    self.cfg.gru.num_layers)
+                    self.cfg.gru.num_layers,
+                    backend=self.cfg.gru.backend,
+                    bidirectional=self.cfg.gru.bidirectional)
         head_in = (2 if self.cfg.gru.bidirectional else 1) * self.cfg.gru.hidden_size
         head = Dense(head_in, self.cfg.num_outputs)
         return audio, visual, gru, head

@@ -38,14 +38,21 @@ def midplanes(in_c: int, out_c: int, t: int = 3, d: int = 3) -> int:
 
 @dataclass(frozen=True)
 class Conv2Plus1D:
-    """Factorized 3D conv: spatial 1xdxd → BN → ReLU → temporal tx1x1."""
+    """Factorized 3D conv: spatial 1xdxd → BN → ReLU → temporal tx1x1.
+
+    ``mid`` (the factorization width) is supplied by the caller: torchvision's
+    BasicBlock computes midplanes ONCE from (block_in, block_out) and reuses
+    it for BOTH convs of the block (video/resnet.py), so checkpoint
+    compatibility requires taking it as a parameter, not deriving it here.
+    """
 
     in_c: int
     out_c: int
+    mid: int
     stride: Tuple[int, int, int] = (1, 1, 1)
 
     def _layers(self):
-        mid = midplanes(self.in_c, self.out_c)
+        mid = self.mid
         st, sh, sw = self.stride
         spatial = Conv(self.in_c, mid, (1, 3, 3), strides=(1, sh, sw),
                        padding=((0, 0), (1, 1), (1, 1)))
@@ -80,8 +87,11 @@ class BasicBlock:
         return self.stride != (1, 1, 1) or self.in_c != self.out_c
 
     def _layers(self):
-        conv1 = Conv2Plus1D(self.in_c, self.out_c, self.stride)
-        conv2 = Conv2Plus1D(self.out_c, self.out_c)
+        # ONE midplane count per block, from (in_c, out_c), shared by both
+        # convs — the torchvision VideoResNet recipe (checkpoint compat)
+        mid = midplanes(self.in_c, self.out_c)
+        conv1 = Conv2Plus1D(self.in_c, self.out_c, mid, self.stride)
+        conv2 = Conv2Plus1D(self.out_c, self.out_c, mid)
         down = Conv(self.in_c, self.out_c, (1, 1, 1), strides=self.stride,
                     padding="VALID") if self.has_downsample else None
         return conv1, BatchNorm(self.out_c), conv2, BatchNorm(self.out_c), down

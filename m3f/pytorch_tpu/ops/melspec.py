@@ -135,5 +135,8 @@ def log_mel_spectrogram(waveform: jnp.ndarray, cfg: MelConfig,
     spec = jnp.fft.rfft(frames * win, n=cfg.n_fft, axis=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2      # [..., F, n_bins]
     fb = jnp.asarray(mel_filterbank(cfg))                   # [n_bins, n_mels]
-    mel = jnp.einsum("...fb,bm->...fm", power, fb)          # MXU matmul
+    # precision pinned: TPU DEFAULT would run this fp32 matmul as a single
+    # bf16 pass, breaking the librosa-parity claim (same as stitch.py)
+    mel = jnp.einsum("...fb,bm->...fm", power, fb,
+                     precision=jax.lax.Precision.HIGHEST)   # MXU matmul
     return jnp.log(mel + cfg.log_eps).astype(out_dtype)

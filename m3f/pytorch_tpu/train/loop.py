@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import optax
 
 from m3f.pytorch_tpu.config import ExperimentConfig, OptimConfig
-from m3f.pytorch_tpu.data.windowing import WindowSequencer, batch_examples
+from m3f.pytorch_tpu.data.windowing import (WindowSequencer, batch_examples,
+                                            samples_per_window)
 from m3f.pytorch_tpu.models.m3f import M3F
 from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss
 from m3f.pytorch_tpu.ops.stitch import (clip_predictions, coverage_matrix,
@@ -76,6 +77,7 @@ class Trainer:
                                 self.cfg.train.mesh.num_model)
         self._video_eval_fn = None    # cached jit of make_video_eval_fn
         self._sharded_eval_fn = None  # cached jit of make_sharded_eval_forward
+        self._last_state = None       # latest TrainState (preemption save)
 
     # -- state ------------------------------------------------------------
 
@@ -145,7 +147,7 @@ class Trainer:
         mcfg = self.cfg.model
         L = self.cfg.window.window_frames
         W = self.cfg.window.windows_per_clip
-        spw = (mcfg.audio.mel_frames_per_window - 1) * mcfg.mel.hop_length
+        spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
 
         def fn(params, bn_state, starts, sample_starts, win_valid,
                labels, frame_valid, frames=None, wav=None):
@@ -196,18 +198,21 @@ class Trainer:
 
     # -- full-video sliding-window eval (config 4, [B:10]) ----------------
 
-    def evaluate_video(self, state: TrainState, video: Dict[str, np.ndarray],
-                       eval_fwd: Optional[Callable] = None) -> Dict[str, Any]:
-        """Sliding-window eval of ONE loaded video → stitched preds + CCC."""
+    def evaluate_video(self, state: TrainState,
+                       video: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Sliding-window eval of ONE loaded video → stitched preds + CCC.
+
+        Uses the cached whole-video jit (single device) or the mesh-sharded
+        forward (multi device); both are built lazily and reused.
+        """
         wcfg = self.cfg.window
         mcfg = self.cfg.model
-        eval_fwd = eval_fwd or self.make_eval_forward()
         n = len(video["labels"])
         L, W = wcfg.window_frames, wcfg.windows_per_clip
         starts = window_starts(n, L, wcfg.eval_stride)            # [Nw]
 
         n_win = len(starts)
-        spw = (mcfg.audio.mel_frames_per_window - 1) * mcfg.mel.hop_length
+        spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
         sr = mcfg.mel.sample_rate
 
         n_data = self.mesh.shape.get("data", 1)
@@ -286,13 +291,12 @@ class Trainer:
                 "ccc_a": float(per_dim[1])}
 
     def evaluate(self, state: TrainState, dataset, max_videos: int = 0) -> Dict[str, float]:
-        eval_fwd = self.make_eval_forward()
         ids = dataset.video_ids()
         if max_videos:
             ids = ids[:max_videos]
         vs, as_ = [], []
         for vid in ids:
-            r = self.evaluate_video(state, dataset.load_video(vid), eval_fwd)
+            r = self.evaluate_video(state, dataset.load_video(vid))
             vs.append(r["ccc_v"])
             as_.append(r["ccc_a"])
         return {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
@@ -329,6 +333,7 @@ class Trainer:
                 feed["wav"] = host_batch["wav"]
             batch = shard_batch(self.mesh, feed)
             state, metrics = train_step(state, batch)
+            self._last_state = state  # read by the SIGTERM preemption handler
             seen += host_batch["labels"].shape[0] * host_batch["labels"].shape[1]
             if profiling and i >= start_step + 2 + 10:
                 jax.profiler.stop_trace()

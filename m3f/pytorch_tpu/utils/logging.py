@@ -26,9 +26,16 @@ class MetricWriter:
         self.directory = directory
         self._jsonl = open(os.path.join(directory, f"{name}.jsonl"), "a")
         self._csv_path = os.path.join(directory, f"{name}.csv")
-        self._csv_file = open(self._csv_path, "a", newline="")
-        self._csv: Optional[csv.DictWriter] = None
-        self._csv_fields: Optional[list] = None
+        self._csv_fields: list = []
+        self._csv_rows: list = []   # kept so the header can grow (see write)
+        if os.path.exists(self._csv_path):  # resume: keep prior-run rows
+            try:
+                with open(self._csv_path, newline="") as f:
+                    r = csv.DictReader(f)
+                    self._csv_fields = list(r.fieldnames or [])
+                    self._csv_rows = [dict(row) for row in r]
+            except Exception:
+                self._csv_fields, self._csv_rows = [], []
         self._tb = None
         if tensorboard:
             try:
@@ -37,26 +44,32 @@ class MetricWriter:
             except Exception:
                 self._tb = None
 
+    def _rewrite_csv(self):
+        with open(self._csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._csv_fields)
+            w.writeheader()
+            for r in self._csv_rows:
+                w.writerow({k: r.get(k, "") for k in self._csv_fields})
+
     def write(self, step: int, metrics: Dict[str, float]):
         row = {"step": int(step), "time": time.time(),
                **{k: float(v) for k, v in metrics.items()}}
         self._jsonl.write(json.dumps(row) + "\n")
         self._jsonl.flush()
-        if self._csv is None:
-            self._csv_fields = list(row.keys())
-            self._csv = csv.DictWriter(self._csv_file, fieldnames=self._csv_fields,
-                                       extrasaction="ignore")
-            if os.path.getsize(self._csv_path) == 0:
-                self._csv.writeheader()
-        self._csv.writerow({k: row.get(k, "") for k in self._csv_fields})
-        self._csv_file.flush()
+        # CSV header grows as new metric names appear (train vs eval rows
+        # carry different key sets); the file is rewritten on expansion so
+        # no column is ever silently dropped
+        new_keys = [k for k in row if k not in self._csv_fields]
+        self._csv_rows.append(row)
+        if new_keys:
+            self._csv_fields.extend(new_keys)
+        self._rewrite_csv()
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, float(v), int(step))
 
     def close(self):
         self._jsonl.close()
-        self._csv_file.close()
         if self._tb is not None:
             self._tb.close()
 

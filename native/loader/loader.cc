@@ -164,27 +164,30 @@ void parallel_for(int n, int n_threads, const std::function<void(int)>& fn) {
 
 extern "C" {
 
-// Decode n JPEGs into out[n, H, W, 3] RGB; returns the number of failures.
+// Decode n JPEGs into out[n, H, W, 3] RGB.  ok_out[i] (may be null) gets
+// 1 on success, 0 on a missing/undecodable file (slot is zeroed).
+// Returns the number of failures.
 int m3f_decode_jpeg_batch(const char** paths, int n, uint8_t* out, int out_h,
-                          int out_w, int n_threads) {
+                          int out_w, int n_threads, uint8_t* ok_out) {
   std::atomic<int> failed{0};
   const size_t img_bytes = static_cast<size_t>(out_h) * out_w * 3;
   parallel_for(n, n_threads, [&](int i) {
-    if (!paths[i] || !paths[i][0]) {  // empty path = intentionally missing
-      memset(out + i * img_bytes, 0, img_bytes);
-      failed.fetch_add(1);
-      return;
-    }
-    thread_local std::vector<uint8_t> scratch;
-    int w = 0, h = 0;
     uint8_t* slot = out + i * img_bytes;
-    if (decode_jpeg_file(paths[i], scratch, slot, out_w, out_h, &w, &h)) {
-      if (w != out_w || h != out_h)
-        resize_bilinear(scratch.data(), w, h, slot, out_w, out_h);
-    } else {
+    bool ok = false;
+    if (paths[i] && paths[i][0]) {  // empty path = intentionally missing
+      thread_local std::vector<uint8_t> scratch;
+      int w = 0, h = 0;
+      if (decode_jpeg_file(paths[i], scratch, slot, out_w, out_h, &w, &h)) {
+        if (w != out_w || h != out_h)
+          resize_bilinear(scratch.data(), w, h, slot, out_w, out_h);
+        ok = true;
+      }
+    }
+    if (!ok) {
       memset(slot, 0, img_bytes);
       failed.fetch_add(1);
     }
+    if (ok_out) ok_out[i] = ok ? 1 : 0;
   });
   return failed.load();
 }

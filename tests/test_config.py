@@ -57,3 +57,19 @@ def test_metric_writer(tmp_path):
     csv_lines = (tmp_path / "t.csv").read_text().strip().split("\n")
     assert csv_lines[0].startswith("step,")
     assert len(csv_lines) == 3
+
+
+def test_metric_writer_grows_csv_header(tmp_path):
+    from m3f.pytorch_tpu.utils.logging import MetricWriter
+    with MetricWriter(str(tmp_path), "t2", tensorboard=False) as w:
+        w.write(1, {"loss": 0.5})
+        w.write(2, {"eval_ccc_v": 0.3, "eval_ccc_a": 0.4})
+    lines = (tmp_path / "t2.csv").read_text().strip().split("\n")
+    header = lines[0].split(",")
+    assert "loss" in header and "eval_ccc_v" in header
+    assert len(lines) == 3
+    # resume appends without losing prior rows
+    with MetricWriter(str(tmp_path), "t2", tensorboard=False) as w:
+        w.write(3, {"loss": 0.25})
+    lines = (tmp_path / "t2.csv").read_text().strip().split("\n")
+    assert len(lines) == 4

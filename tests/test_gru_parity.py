@@ -57,6 +57,21 @@ def test_two_layer_bidirectional_parity():
                                rtol=1e-3, atol=5e-5)
 
 
+def test_bigru_unidirectional_flag_parity():
+    """BiGRU(bidirectional=False) — the gru.bidirectional config path."""
+    tg = _torch_gru(20, 24, bidirectional=False, seed=4)
+    sd = {k: v.detach().numpy() for k, v in tg.state_dict().items()}
+    uni = BiGRU(20, 24, bidirectional=False)
+    params = {"layers": [{"fwd": convert_gru(sd, "", 1, False)}]}
+    x = np.random.RandomState(4).randn(2, 9, 20).astype(np.float32)
+    want, _ = tg(torch.from_numpy(x))
+    with highest():
+        got = uni.apply(params, jnp.asarray(x))
+    assert got.shape == (2, 9, 24)  # H, not 2H
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                               rtol=1e-3, atol=5e-5)
+
+
 def test_converter_round_trip():
     tg = _torch_gru(8, 12, bidirectional=True, seed=3)
     sd = {k: v.detach().numpy() for k, v in tg.state_dict().items()}

@@ -47,6 +47,22 @@ def test_missing_file_masked(jpeg_dir):
     assert (out[1] == 0).all()
 
 
+def test_corrupt_jpeg_masked(tmp_path, jpeg_dir):
+    corrupt = str(tmp_path / "bad.jpg")
+    with open(corrupt, "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0not really a jpeg")
+    truncated = str(tmp_path / "trunc.jpg")
+    with open(truncated, "wb") as f:
+        f.write(open(jpeg_dir[0], "rb").read()[:200])
+    out, ok = nl.decode_jpeg_batch([jpeg_dir[0], corrupt, truncated], 112)
+    assert ok[0] and not ok[1]
+    assert (out[1] == 0).all()
+    # a truncated file may decode partially or fail — either way no crash,
+    # and a hard failure must be flagged
+    if not ok[2]:
+        assert (out[2] == 0).all()
+
+
 def test_prefetcher_order_and_exception():
     pf = nl.Prefetcher(iter(range(5)), depth=2)
     assert list(pf) == [0, 1, 2, 3, 4]

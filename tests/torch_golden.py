@@ -31,11 +31,14 @@ class Conv2Plus1D(nn.Sequential):
 class BasicBlock(nn.Module):
     def __init__(self, inplanes, planes, stride=1):
         super().__init__()
+        # torchvision video/resnet.py computes midplanes ONCE per block from
+        # (inplanes, planes) and reuses it for BOTH convs
+        mid = midplanes(inplanes, planes)
         self.conv1 = nn.Sequential(
-            Conv2Plus1D(inplanes, planes, midplanes(inplanes, planes), stride),
+            Conv2Plus1D(inplanes, planes, mid, stride),
             nn.BatchNorm3d(planes), nn.ReLU(inplace=True))
         self.conv2 = nn.Sequential(
-            Conv2Plus1D(planes, planes, midplanes(planes, planes)),
+            Conv2Plus1D(planes, planes, mid),
             nn.BatchNorm3d(planes))
         self.relu = nn.ReLU(inplace=True)
         self.downsample = None
