@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from m3f.pytorch_tpu.config import ExperimentConfig, OptimConfig
 from m3f.pytorch_tpu.data.windowing import (WindowSequencer, batch_examples,
@@ -149,6 +150,10 @@ class Trainer:
         W = self.cfg.window.windows_per_clip
         spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
 
+        n_data = self.mesh.shape.get("data", 1)
+        seq_sharding = (NamedSharding(self.mesh, P("data"))
+                        if n_data > 1 else None)
+
         def fn(params, bn_state, starts, sample_starts, win_valid,
                labels, frame_valid, frames=None, wav=None):
             n_win = starts.shape[0]
@@ -161,6 +166,11 @@ class Trainer:
                 sidx = sample_starts[:, None] + jnp.arange(spw)[None, :]
                 sw = wav[sidx]                                     # [Nw, spw]
                 feed["wav"] = sw.reshape(n_win // W, W, spw)
+            if seq_sharding is not None:
+                # C-P2: split the sequence batch across the mesh so the conv
+                # backbones run data-parallel; stitch happens replicated
+                feed = {k: jax.lax.with_sharding_constraint(v, seq_sharding)
+                        for k, v in feed.items()}
             preds, _ = self.model.apply(
                 params, bn_state, video=feed.get("video"),
                 wav=feed.get("wav"), train=False)
@@ -215,39 +225,20 @@ class Trainer:
         spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
         sr = mcfg.mel.sample_rate
 
-        n_data = self.mesh.shape.get("data", 1)
-        if n_data > 1:
-            # C-P2: one sharded call over the whole video's sequence batch —
-            # the conv backbones split across the mesh (seqpar.py)
-            n_pad = (-n_win) % W
-            starts_padded = np.concatenate([starts, np.repeat(starts[-1:], n_pad)])
-            sharded_fwd = self._sharded_eval_fn or self.make_sharded_eval_forward()
-            self._sharded_eval_fn = sharded_fwd
-            feed = {}
-            if mcfg.use_video:
-                vids = np.stack([video["frames"][int(fs):int(fs) + L]
-                                 for fs in starts_padded])
-                feed["video"] = vids.reshape((-1, W) + vids.shape[1:]).astype(np.uint8)
-            if mcfg.use_audio:
-                wavs = []
-                for fs in starts_padded:
-                    ss = int(round(int(fs) / self.cfg.data.fps * sr))
-                    seg = video["waveform"][ss:ss + spw]
-                    if len(seg) < spw:
-                        seg = np.pad(seg, (0, spw - len(seg)))
-                    wavs.append(seg)
-                feed["wav"] = np.stack(wavs).reshape(-1, W, spw).astype(np.float32)
-            win_preds = sharded_fwd(state.params, state.bn_state, feed)
-            win_preds = win_preds.reshape(-1, win_preds.shape[-1])[:n_win]
-        else:
-            # single device: ONE jit call does windowing (on-device gather),
-            # forward, overlap-average stitch, clip, and per-video CCC — each
-            # frame/sample crosses the host↔device link exactly once and the
-            # host gets back only [NF, 2] preds + 2 scalars.  Shapes bucketed
-            # for compile reuse across variable-length videos.
+        # ONE jit call does windowing (on-device gather), forward (sequence
+        # batch sharded over the mesh when it has >1 data device — C-P2),
+        # overlap-average stitch, clip, and per-video CCC.  Each frame/sample
+        # crosses the host↔device link exactly once; the host gets back only
+        # [NF, 2] preds + 2 scalars.  Shapes are bucketed for compile reuse
+        # across variable-length videos.
+        if True:
+            import math
+            n_data = self.mesh.shape.get("data", 1)
             eval_fn = self._video_eval_fn or self.make_video_eval_fn()
             self._video_eval_fn = eval_fn
-            win_bucket = 8 * W
+            # sequence-group count must divide the data axis: bucket windows
+            # by lcm(8, n_data) sequences of W windows
+            win_bucket = W * (8 * n_data // math.gcd(8, n_data))
             n_win_pad = -(-max(n_win, 1) // win_bucket) * win_bucket
             starts_padded = np.concatenate(
                 [starts, np.repeat(starts[-1:], n_win_pad - n_win)])

@@ -60,6 +60,20 @@ def test_audio_only_trains_and_evals(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_eval_video_shorter_than_window(tmp_path):
+    """Video with fewer frames than one 16-frame window still evaluates."""
+    cfg = tiny_audio_cfg(ckpt_dir=str(tmp_path))
+    cfg = cfg.replace(data=cfg.data.__class__(
+        synthetic_num_videos=1, synthetic_video_frames=10, image_size=16))
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+    r = tr.evaluate_video(state, ds.load_video(ds.video_ids()[0]))
+    assert r["pred"].shape == (10, 2)
+    assert np.isfinite(r["pred"]).all()
+    assert np.isfinite(r["ccc_v"]) and np.isfinite(r["ccc_a"])
+
+
 def test_eval_all_invalid_video_stays_finite(tmp_path):
     """Degenerate: every frame invalid → CCC must be finite (0), not NaN."""
     cfg = tiny_audio_cfg(ckpt_dir=str(tmp_path))
