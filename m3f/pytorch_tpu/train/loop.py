@@ -77,7 +77,6 @@ class Trainer:
         self.mesh = create_mesh(self.cfg.train.mesh.num_data,
                                 self.cfg.train.mesh.num_model)
         self._video_eval_fn = None    # cached jit of make_video_eval_fn
-        self._sharded_eval_fn = None  # cached jit of make_sharded_eval_forward
         self._last_state = None       # latest TrainState (preemption save)
 
     # -- state ------------------------------------------------------------
@@ -187,24 +186,6 @@ class Trainer:
             return stitched, per_dim
 
         return jax.jit(fn)
-
-    def make_sharded_eval_forward(self) -> Callable:
-        """C-P2: eval forward with the window batch sharded over 'data'.
-
-        Runs the conv backbones (~all the FLOPs) embarrassingly parallel
-        across the mesh for full-video evaluation; host API matches
-        ``make_eval_forward`` but takes/returns numpy and pads the batch to
-        the mesh size (parallel/seqpar.py).
-        """
-        from m3f.pytorch_tpu.parallel.seqpar import make_sharded_eval_forward
-
-        def apply_fn(params, bn_state, batch):
-            preds, _ = self.model.apply(
-                params, bn_state,
-                video=batch.get("video"), wav=batch.get("wav"),
-                mel=batch.get("mel"), train=False)
-            return preds
-        return make_sharded_eval_forward(self.mesh, apply_fn)
 
     # -- full-video sliding-window eval (config 4, [B:10]) ----------------
 
