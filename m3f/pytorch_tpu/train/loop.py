@@ -17,6 +17,7 @@ checkpoint callbacks (SURVEY.md §2.1 C8/C9, §3.2/§3.3).  TPU-first redesign:
 
 from __future__ import annotations
 
+import math
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
@@ -28,13 +29,10 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from m3f.pytorch_tpu.config import ExperimentConfig, OptimConfig
-from m3f.pytorch_tpu.data.windowing import (WindowSequencer, batch_examples,
-                                            samples_per_window)
+from m3f.pytorch_tpu.data.windowing import samples_per_window
 from m3f.pytorch_tpu.models.m3f import M3F
 from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss
-from m3f.pytorch_tpu.ops.stitch import (clip_predictions, coverage_matrix,
-                                        interpolate_gaps,
-                                        stitch_overlap_average, window_starts)
+from m3f.pytorch_tpu.ops.stitch import coverage_matrix, window_starts
 from m3f.pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
                                            replicated, shard_batch)
 
@@ -212,55 +210,42 @@ class Trainer:
         # crosses the host↔device link exactly once; the host gets back only
         # [NF, 2] preds + 2 scalars.  Shapes are bucketed for compile reuse
         # across variable-length videos.
-        if True:
-            import math
-            n_data = self.mesh.shape.get("data", 1)
-            eval_fn = self._video_eval_fn or self.make_video_eval_fn()
-            self._video_eval_fn = eval_fn
-            # sequence-group count must divide the data axis: bucket windows
-            # by lcm(8, n_data) sequences of W windows
-            win_bucket = W * (8 * n_data // math.gcd(8, n_data))
-            n_win_pad = -(-max(n_win, 1) // win_bucket) * win_bucket
-            starts_padded = np.concatenate(
-                [starts, np.repeat(starts[-1:], n_win_pad - n_win)])
-            win_valid = np.arange(n_win_pad) < n_win
-            frame_bucket = 256
-            n_frames_pad = -(-n // frame_bucket) * frame_bucket + L
-            kw = {}
-            if mcfg.use_video:
-                frames = video["frames"]
-                kw["frames"] = np.pad(
-                    frames, [(0, n_frames_pad - len(frames))] + [(0, 0)] * 3)
-            if mcfg.use_audio:
-                need = int(round(n_frames_pad / self.cfg.data.fps * sr)) + spw
-                wav = video["waveform"]
-                kw["wav"] = np.pad(wav, (0, max(0, need - len(wav)))).astype(np.float32)
-            sample_starts = np.round(
-                starts_padded / self.cfg.data.fps * sr).astype(np.int32)
-            labels_pad = np.full((n_frames_pad, 2), -5.0, np.float32)
-            labels_pad[:n] = video["labels"]
-            valid_pad = np.zeros(n_frames_pad, bool)
-            valid_pad[:n] = video["valid"]
-            stitched_d, per_dim_d = eval_fn(
-                state.params, state.bn_state,
-                jnp.asarray(starts_padded, jnp.int32),
-                jnp.asarray(sample_starts),
-                jnp.asarray(win_valid),
-                jnp.asarray(labels_pad), jnp.asarray(valid_pad), **kw)
-            per_dim = np.asarray(per_dim_d)
-            return {"pred": np.asarray(stitched_d)[:n],
-                    "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1])}
-
-        stitched = np.asarray(stitch_overlap_average(
-            jnp.asarray(win_preds), jnp.asarray(starts), n, L))     # [n, 2]
-        stitched = clip_predictions(stitched)
-        valid = video["valid"]
-        labels = video["labels"]
-        per_dim = ccc(jnp.asarray(stitched), jnp.asarray(labels),
-                      mask=jnp.asarray(valid)[:, None], axis=(0,))
-        per_dim = np.asarray(per_dim)
-        return {"pred": stitched, "ccc_v": float(per_dim[0]),
-                "ccc_a": float(per_dim[1])}
+        n_data = self.mesh.shape.get("data", 1)
+        eval_fn = self._video_eval_fn or self.make_video_eval_fn()
+        self._video_eval_fn = eval_fn
+        # sequence-group count must divide the data axis: bucket windows
+        # by lcm(8, n_data) sequences of W windows
+        win_bucket = W * (8 * n_data // math.gcd(8, n_data))
+        n_win_pad = -(-max(n_win, 1) // win_bucket) * win_bucket
+        starts_padded = np.concatenate(
+            [starts, np.repeat(starts[-1:], n_win_pad - n_win)])
+        win_valid = np.arange(n_win_pad) < n_win
+        frame_bucket = 256
+        n_frames_pad = -(-n // frame_bucket) * frame_bucket + L
+        kw = {}
+        if mcfg.use_video:
+            frames = video["frames"]
+            kw["frames"] = np.pad(
+                frames, [(0, n_frames_pad - len(frames))] + [(0, 0)] * 3)
+        if mcfg.use_audio:
+            need = int(round(n_frames_pad / self.cfg.data.fps * sr)) + spw
+            wav = video["waveform"]
+            kw["wav"] = np.pad(wav, (0, max(0, need - len(wav)))).astype(np.float32)
+        sample_starts = np.round(
+            starts_padded / self.cfg.data.fps * sr).astype(np.int32)
+        labels_pad = np.full((n_frames_pad, 2), -5.0, np.float32)
+        labels_pad[:n] = video["labels"]
+        valid_pad = np.zeros(n_frames_pad, bool)
+        valid_pad[:n] = video["valid"]
+        stitched_d, per_dim_d = eval_fn(
+            state.params, state.bn_state,
+            jnp.asarray(starts_padded, jnp.int32),
+            jnp.asarray(sample_starts),
+            jnp.asarray(win_valid),
+            jnp.asarray(labels_pad), jnp.asarray(valid_pad), **kw)
+        per_dim = np.asarray(per_dim_d)
+        return {"pred": np.asarray(stitched_d)[:n],
+                "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1])}
 
     def evaluate(self, state: TrainState, dataset, max_videos: int = 0) -> Dict[str, float]:
         ids = dataset.video_ids()
