@@ -53,8 +53,9 @@ def main():
     batch = shard_batch(trainer.mesh, {
         "video": rng.randint(0, 256, (B, W, L, S, S, 3)).astype(np.uint8),
         "wav": rng.randn(B, W, spw).astype(np.float32),
-        "labels": rng.uniform(-1, 1, (B, W, 2)).astype(np.float32),
-        "mask": np.ones((B, W), dtype=bool),
+        # per-frame labels/mask (ModelConfig.per_frame default)
+        "labels": rng.uniform(-1, 1, (B, W, L, 2)).astype(np.float32),
+        "mask": np.ones((B, W, L), dtype=bool),
     })
 
     # compile + warmup (float() fetch, not block_until_ready: the axon PJRT

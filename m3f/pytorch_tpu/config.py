@@ -89,6 +89,17 @@ class ModelConfig:
     gru: GRUConfig = field(default_factory=GRUConfig)
     num_outputs: int = 2     # (valence, arousal)
     head_activation: str = "tanh"  # predictions live in [-1, 1]
+    # Per-FRAME predictions (the reference's actual granularity: the dataset
+    # yields per-frame [T,2] labels and eval stitches onto the frame timeline,
+    # SURVEY §1 L2 / §2.1 C9). True → branch features keep their temporal
+    # axis, the BiGRU runs over frames, the head emits [B, W, L, 2].
+    # False → one (V,A) per 16-frame window (round-1 behavior, kept for
+    # ablation). No parameter shapes change between the two modes, so torch
+    # checkpoint compatibility is identical.
+    per_frame: bool = True
+    # Output frames per window when no video input pins it (audio-only
+    # per-frame mode); with video present L is taken from the input shape.
+    frames_per_window: int = 16
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     mel_backend: str = "xla"  # "xla" (rfft) | "pallas" (fused DFT kernel)

@@ -7,6 +7,10 @@ such examples with static shapes:
     video  uint8  [W, L, S, S, 3]
     wav    f32    [W, samples_per_window]   (raw audio; mel is computed
                                              on-device by the fused frontend)
+    per_frame=True (default — the reference's granularity, labels [T,2]):
+    labels f32    [W, L, 2]  per-frame labels (INVALID_LABEL where invalid)
+    mask   bool   [W, L]     per-frame validity
+    per_frame=False:
     labels f32    [W, 2]   masked mean of the frame labels in each window
     mask   bool   [W]      window has ≥1 valid frame
 
@@ -42,6 +46,7 @@ class WindowSequencer:
     mel: MelConfig
     fps: float = 30.0
     mel_frames: int = 16
+    per_frame: bool = True   # per-frame labels [W,L,2] (ModelConfig.per_frame)
 
     @property
     def frames_per_example(self) -> int:
@@ -66,8 +71,12 @@ class WindowSequencer:
             if len(seg) < spw:
                 seg = np.pad(seg, (0, spw - len(seg)))
             wavs.append(seg)
-            labs.append(window_label(labels[fs:fe], valid[fs:fe]))
-            mask.append(bool(valid[fs:fe].any()))
+            if self.per_frame:
+                labs.append(labels[fs:fe])
+                mask.append(valid[fs:fe])
+            else:
+                labs.append(window_label(labels[fs:fe], valid[fs:fe]))
+                mask.append(bool(valid[fs:fe].any()))
         return {
             "video": np.stack(vids).astype(np.uint8),
             "wav": np.stack(wavs).astype(np.float32),

@@ -72,7 +72,8 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
     trainer = Trainer(cfg)
     ds = make_dataset(cfg, "train")
     seq = WindowSequencer(cfg.window, cfg.model.mel, fps=cfg.data.fps,
-                          mel_frames=cfg.model.audio.mel_frames_per_window)
+                          mel_frames=cfg.model.audio.mel_frames_per_window,
+                          per_frame=cfg.model.per_frame)
     from m3f.pytorch_tpu.data.native_loader import Prefetcher
     stream = Prefetcher(
         example_stream(ds, seq, cfg.train.batch_size, seed=cfg.train.seed,

@@ -49,8 +49,13 @@ class AudioCNN:
         return params, state
 
     def apply(self, params: Params, state: State, mel: jnp.ndarray,
-              train: bool = False) -> Tuple[jnp.ndarray, State]:
-        """mel: [B, mel_frames, n_mels] log-mel window → [B, feature_dim]."""
+              train: bool = False, per_frame: bool = False) -> Tuple[jnp.ndarray, State]:
+        """mel: [B, mel_frames, n_mels] log-mel window → [B, feature_dim].
+
+        ``per_frame=True`` pools only the MEL axis, keeping the (downsampled)
+        temporal axis: [B, F', feature_dim] with F' = mel_frames / 2^len(channels).
+        The Dense head applies per timestep (same weights as the pooled mode).
+        """
         convs, bns, head = self._layers()
         x = mel[..., None]  # NHWC with C=1
         new_bn = []
@@ -59,6 +64,9 @@ class AudioCNN:
             x, ns = b.apply(bp, bs, x, train)
             new_bn.append(ns)
             x = relu(x)
-        feat = global_avg_pool(x)                    # [B, C_last]
-        feat = head.apply(params["head"], feat)      # [B, feature_dim]
+        if per_frame:
+            feat = jnp.mean(x, axis=2)               # [B, F', C_last]
+        else:
+            feat = global_avg_pool(x)                # [B, C_last]
+        feat = head.apply(params["head"], feat)      # [..., feature_dim]
         return feat, {"bn": new_bn}

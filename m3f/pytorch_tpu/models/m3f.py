@@ -7,9 +7,16 @@ BASELINE.json "late-fusion concat", "BiGRU temporal fusion head").
 
 The model consumes a *sequence of W windows* per example:
 
-    video: [B, W, T=16, 112, 112, 3]   (uint8 or float, NDHWC per window)
+    video: [B, W, L=16, 112, 112, 3]   (uint8 or float, NDHWC per window)
     mel:   [B, W, F, n_mels]           (log-mel slice aligned to each window)
-    →      [B, W, 2]                   (valence, arousal per window, in [-1,1])
+    →      [B, W, L, 2]  per_frame=True (default): per-FRAME (valence, arousal)
+           [B, W, 2]     per_frame=False: one prediction per window
+
+In per-frame mode (the reference's granularity — it trains on per-frame [T,2]
+labels, SURVEY §1 L2 / §2.1 C9) each branch keeps its temporal axis (visual:
+spatial-only pool → [·, T', C]; audio: mel-axis-only pool → [·, F', C]),
+features are nearest-upsampled to L frames per window, and the BiGRU runs over
+the W·L frame sequence. No parameter shapes differ between the modes.
 
 Branch backbones run on the flattened [B·W] window batch — one big MXU-friendly
 batch instead of a Python loop — then the BiGRU runs over the W axis.
@@ -31,6 +38,19 @@ from m3f.pytorch_tpu.models.audio import AudioCNN
 from m3f.pytorch_tpu.models.gru import BiGRU
 from m3f.pytorch_tpu.models.r2plus1d import R2Plus1D
 from m3f.pytorch_tpu.nn import Dense, Params, State
+
+
+def _upsample_nearest(x: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Nearest-neighbor upsample [B, T', C] → [B, length, C].
+
+    idx[l] = ⌊l·T'/length⌋ — equals ``repeat_interleave`` when T' | length
+    (the torch golden mirrors this exact formula, tests/torch_golden.py).
+    """
+    tp = x.shape[1]
+    if tp == length:
+        return x
+    idx = (jnp.arange(length) * tp) // length
+    return jnp.take(x, idx, axis=1)
 
 
 @dataclass(frozen=True)
@@ -79,6 +99,11 @@ class M3F:
                 from m3f.pytorch_tpu.ops.melspec import log_mel_spectrogram
                 mel = log_mel_spectrogram(wav, self.cfg.mel,
                                           out_dtype=self._cdtype())
+        per_frame = self.cfg.per_frame
+        # L = output frames per window (per-frame mode). With video present it
+        # is pinned by the input; audio-only takes it from config.
+        if per_frame:
+            L = video.shape[2] if video is not None else self.cfg.frames_per_window
         feats = []
         new_state: State = {}
         if visual is not None:
@@ -90,20 +115,34 @@ class M3F:
             else:
                 flat = flat.astype(self._cdtype())
             vfeat, new_state["visual"] = visual.apply(
-                params["visual"], state["visual"], flat, train)
-            feats.append(vfeat.reshape(b, w, -1))
+                params["visual"], state["visual"], flat, train,
+                per_frame=per_frame)
+            if per_frame:
+                # [B·W, T', C] → nearest-upsample to [B·W, L, C] → [B, W·L, C]
+                vfeat = _upsample_nearest(vfeat, L)
+                feats.append(vfeat.reshape(b, w * L, -1))
+            else:
+                feats.append(vfeat.reshape(b, w, -1))
         if audio is not None:
             assert mel is not None, "model configured with use_audio=True"
             b, w = mel.shape[:2]
             flat = mel.reshape((b * w,) + mel.shape[2:]).astype(self._cdtype())
             afeat, new_state["audio"] = audio.apply(
-                params["audio"], state["audio"], flat, train)
-            feats.append(afeat.reshape(b, w, -1))
-        fused = jnp.concatenate(feats, axis=-1)  # [B, W, Dv+Da]
-        seq = gru.apply(params["gru"], fused)    # [B, W, 2H]
+                params["audio"], state["audio"], flat, train,
+                per_frame=per_frame)
+            if per_frame:
+                afeat = _upsample_nearest(afeat, L)
+                feats.append(afeat.reshape(b, w * L, -1))
+            else:
+                feats.append(afeat.reshape(b, w, -1))
+        fused = jnp.concatenate(feats, axis=-1)  # [B, W(*L), Dv+Da]
+        seq = gru.apply(params["gru"], fused)    # [B, W(*L), 2H]
         out = head.apply(params["head"], seq.astype(jnp.float32))
         if self.cfg.head_activation == "tanh":
             out = jnp.tanh(out)
+        if per_frame:
+            # [B, W·L, 2] → [B, W, L, 2] per-frame predictions
+            out = out.reshape(out.shape[0], -1, L, out.shape[-1])
         return out, new_state
 
     def _cdtype(self):

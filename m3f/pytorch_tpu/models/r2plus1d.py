@@ -169,8 +169,14 @@ class R2Plus1D:
         return params, state
 
     def apply(self, params: Params, state: State, clips: jnp.ndarray,
-              train: bool = False) -> Tuple[jnp.ndarray, State]:
-        """clips: [B, T=16, H=112, W=112, 3] → [B, feature_dim]."""
+              train: bool = False, per_frame: bool = False) -> Tuple[jnp.ndarray, State]:
+        """clips: [B, T=16, H=112, W=112, 3] → [B, feature_dim].
+
+        ``per_frame=True`` pools SPATIAL axes only, keeping the backbone's
+        temporal feature map: [B, T', feature_dim] with T' = T / 2^(stages-1)
+        (stages 2+ stride time by 2). The per-frame head upsamples T' → T
+        outside; no parameters differ from the pooled mode.
+        """
         s_conv1, s_bn1, s_conv2, s_bn2 = self._stem()
         x = s_conv1.apply(params["stem"]["conv1"], clips)
         x, ns1 = s_bn1.apply(params["stem"]["bn1"], state["stem"]["bn1"], x, train)
@@ -182,4 +188,6 @@ class R2Plus1D:
         for blk, bp, bs in zip(self._blocks(), params["blocks"], state["blocks"]):
             x, ns = blk.apply(bp, bs, x, train)
             new_state["blocks"].append(ns)
+        if per_frame:
+            return jnp.mean(x, axis=(2, 3)), new_state  # [B, T', C]
         return global_avg_pool(x), new_state

@@ -19,7 +19,7 @@ a few thousand at most, so the matrix is free compared to the model forward.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import jax
@@ -65,21 +65,32 @@ def stitch_overlap_average(window_preds: jnp.ndarray, starts: jnp.ndarray,
 
 
 def stitch_framewise(window_preds: jnp.ndarray, starts: jnp.ndarray,
-                     num_frames: int) -> jnp.ndarray:
+                     num_frames: int,
+                     win_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Overlap-average PER-FRAME window predictions onto the timeline.
 
     window_preds: [W, L, C] (a prediction for each frame of each window)
-    → [num_frames, C].  Scatter-add expressed as a one-hot matmul:
-    position matrix P[f, w, l] = 1 iff starts[w] + l == f.
+    → [num_frames, C].  ``win_valid`` ([W] bool/float) drops padding windows
+    from both numerator and coverage count.
+
+    TPU design: a flat segment-sum (``.at[idx].add``) over the W·L predicted
+    frames — XLA lowers duplicate-index scatter-add natively.  The one-hot
+    [F, W, L] matmul alternative costs F·W·L memory (~0.8 GB for a 10k-frame
+    video at stride 8) where the scatter touches only W·L elements.
     """
     w, l, c = window_preds.shape
-    f_idx = jax.lax.broadcasted_iota(jnp.int32, (num_frames, w, l), 0)
-    l_idx = jax.lax.broadcasted_iota(jnp.int32, (num_frames, w, l), 2)
-    p = (f_idx == starts[None, :, None] + l_idx).astype(jnp.float32)
-    num = jnp.einsum("fwl,wlc->fc", p, window_preds.astype(jnp.float32),
-                     precision=jax.lax.Precision.HIGHEST)
-    den = jnp.einsum("fwl->f", p)[:, None]
-    return num / jnp.maximum(den, 1.0)
+    idx = (starts[:, None] + jnp.arange(l)[None, :]).reshape(-1)   # [W·L]
+    vals = window_preds.astype(jnp.float32)
+    ones = jnp.ones((w, l), jnp.float32)
+    if win_valid is not None:
+        wv = win_valid.astype(jnp.float32)[:, None]
+        vals = vals * wv[..., None]
+        ones = ones * wv
+    num = jnp.zeros((num_frames, c), jnp.float32).at[idx].add(
+        vals.reshape(-1, c), mode="drop")
+    den = jnp.zeros((num_frames,), jnp.float32).at[idx].add(
+        ones.reshape(-1), mode="drop")
+    return num / jnp.maximum(den[:, None], 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,8 @@ from m3f.pytorch_tpu.config import ExperimentConfig, OptimConfig
 from m3f.pytorch_tpu.data.windowing import samples_per_window
 from m3f.pytorch_tpu.models.m3f import M3F
 from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss
-from m3f.pytorch_tpu.ops.stitch import coverage_matrix, window_starts
+from m3f.pytorch_tpu.ops.stitch import (coverage_matrix, stitch_framewise,
+                                        window_starts)
 from m3f.pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
                                            replicated, shard_batch)
 
@@ -44,10 +45,15 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: OptimConfig,
+                   num_steps: int = 100_000) -> optax.GradientTransformation:
     if cfg.schedule == "cosine":
+        # decay horizon = the run length, so every run traverses the full
+        # cosine (VERDICT r1 weak #5: a hardcoded 100k horizon left a 10k-step
+        # run at 10% of the schedule)
         lr = optax.warmup_cosine_decay_schedule(
-            0.0, cfg.learning_rate, max(cfg.warmup_steps, 1), 100_000)
+            0.0, cfg.learning_rate, max(cfg.warmup_steps, 1),
+            max(num_steps, cfg.warmup_steps + 1))
     elif cfg.warmup_steps:
         lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
     else:
@@ -71,7 +77,7 @@ class Trainer:
 
     def __post_init__(self):
         self.model = M3F(self.cfg.model)
-        self.tx = make_optimizer(self.cfg.train.optim)
+        self.tx = make_optimizer(self.cfg.train.optim, self.cfg.train.num_steps)
         self.mesh = create_mesh(self.cfg.train.mesh.num_data,
                                 self.cfg.train.mesh.num_model)
         self._video_eval_fn = None    # cached jit of make_video_eval_fn
@@ -171,15 +177,22 @@ class Trainer:
             preds, _ = self.model.apply(
                 params, bn_state, video=feed.get("video"),
                 wav=feed.get("wav"), train=False)
-            win_preds = preds.reshape(n_win, -1)
             # stitch + clip + CCC fused into the SAME call — one device
             # round-trip per video (padded windows masked out of coverage)
             nf = labels.shape[0]
-            m = coverage_matrix(starts, nf, L) * win_valid[None, :].astype(jnp.float32)
-            num = jnp.matmul(m, win_preds.astype(jnp.float32),
-                             precision=jax.lax.Precision.HIGHEST)
-            den = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
-            stitched = jnp.clip(num / den, -1.0, 1.0)              # [NF, 2]
+            if mcfg.per_frame:
+                # [Ng, W, L, 2] per-FRAME preds → scatter-add onto the timeline
+                win_preds = preds.reshape(n_win, L, -1)
+                stitched = stitch_framewise(win_preds, starts, nf,
+                                            win_valid=win_valid)
+            else:
+                win_preds = preds.reshape(n_win, -1)
+                m = coverage_matrix(starts, nf, L) * win_valid[None, :].astype(jnp.float32)
+                num = jnp.matmul(m, win_preds.astype(jnp.float32),
+                                 precision=jax.lax.Precision.HIGHEST)
+                den = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+                stitched = num / den
+            stitched = jnp.clip(stitched, -1.0, 1.0)               # [NF, 2]
             per_dim = ccc(stitched, labels, mask=frame_valid[:, None], axis=(0,))
             return stitched, per_dim
 

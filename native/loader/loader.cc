@@ -121,10 +121,14 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst,
       if (x0 < 0) x0 = 0;
       float wx = fx - x0;
       if (wx > 1.0f) wx = 1.0f;
+      // degenerate 1-px-wide/tall sources: neighbor indices clamp to the
+      // same row/col instead of dereferencing past the buffer (ADVICE r1)
+      const int y1 = (y0 + 1 < sh) ? y0 + 1 : y0;
+      const int x1 = (x0 + 1 < sw) ? x0 + 1 : x0;
       const uint8_t* p00 = src + (static_cast<size_t>(y0) * sw + x0) * 3;
-      const uint8_t* p01 = p00 + 3;
-      const uint8_t* p10 = p00 + static_cast<size_t>(sw) * 3;
-      const uint8_t* p11 = p10 + 3;
+      const uint8_t* p01 = src + (static_cast<size_t>(y0) * sw + x1) * 3;
+      const uint8_t* p10 = src + (static_cast<size_t>(y1) * sw + x0) * 3;
+      const uint8_t* p11 = src + (static_cast<size_t>(y1) * sw + x1) * 3;
       uint8_t* o = dst + (static_cast<size_t>(y) * dw + x) * 3;
       for (int c = 0; c < 3; ++c) {
         const float v0 = p00[c] + (p01[c] - p00[c]) * wx;

@@ -32,7 +32,8 @@ def test_synthetic_schema():
     np.testing.assert_array_equal(v["frames"], v2["frames"])
 
 
-def test_window_sequencer_shapes():
+def test_window_sequencer_shapes_per_frame():
+    """Default (per_frame=True): per-frame labels [W, L, 2] + mask [W, L]."""
     ds = SyntheticAVDataset(DATA, MEL)
     v = ds.load_video("synth_0000")
     seq = WindowSequencer(WIN, MEL)
@@ -40,6 +41,21 @@ def test_window_sequencer_shapes():
     W, L = WIN.windows_per_clip, WIN.window_frames
     assert ex["video"].shape == (W, L, 32, 32, 3)
     assert ex["wav"].shape == (W, samples_per_window(MEL, 16))
+    assert ex["labels"].shape == (W, L, 2)
+    assert ex["mask"].shape == (W, L)
+    # per-frame labels/mask are exact slices of the video timeline
+    np.testing.assert_array_equal(ex["labels"][0], v["labels"][:L])
+    np.testing.assert_array_equal(ex["mask"][0], v["valid"][:L])
+    np.testing.assert_array_equal(ex["labels"][1],
+                                  v["labels"][WIN.train_stride:WIN.train_stride + L])
+
+
+def test_window_sequencer_shapes_per_window():
+    ds = SyntheticAVDataset(DATA, MEL)
+    v = ds.load_video("synth_0000")
+    seq = WindowSequencer(WIN, MEL, per_frame=False)
+    ex = seq.cut(v, 0)
+    W, L = WIN.windows_per_clip, WIN.window_frames
     assert ex["labels"].shape == (W, 2)
     assert ex["mask"].shape == (W,)
     # window labels are means of valid frame labels
@@ -63,7 +79,7 @@ def test_example_stream_batching():
     it = example_stream(ds, seq, batch_size=3, seed=0)
     b = next(it)
     assert b["video"].shape[0] == 3
-    assert b["labels"].shape == (3, WIN.windows_per_clip, 2)
+    assert b["labels"].shape == (3, WIN.windows_per_clip, WIN.window_frames, 2)
     b2 = next(it)
     assert not np.array_equal(b["video"], b2["video"])
 

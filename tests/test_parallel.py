@@ -35,11 +35,12 @@ def tiny_cfg(n_data: int) -> ExperimentConfig:
 def make_batch(cfg, B=8, seed=0):
     rng = np.random.RandomState(seed)
     W = cfg.window.windows_per_clip
+    L = cfg.model.frames_per_window  # per-frame labels (ModelConfig.per_frame)
     spw = samples_per_window(cfg.model.mel, cfg.model.audio.mel_frames_per_window)
     return {
         "wav": rng.randn(B, W, spw).astype(np.float32),
-        "labels": rng.uniform(-1, 1, (B, W, 2)).astype(np.float32),
-        "mask": np.ones((B, W), dtype=bool),
+        "labels": rng.uniform(-1, 1, (B, W, L, 2)).astype(np.float32),
+        "mask": np.ones((B, W, L), dtype=bool),
     }
 
 

@@ -60,6 +60,32 @@ def test_framewise_stitch_matches_numpy():
     np.testing.assert_allclose(got, num / den, rtol=1e-5, atol=1e-6)
 
 
+def test_framewise_stitch_win_valid_drops_padding():
+    """Padding windows (win_valid=False) contribute nothing; stitch with
+    padded duplicate windows == stitch of the unpadded set."""
+    rng = np.random.RandomState(2)
+    n, window, stride = 40, 16, 8
+    starts = window_starts(n, window, stride)
+    preds = rng.randn(len(starts), window, 2).astype(np.float32)
+    want = np.asarray(stitch_framewise(jnp.asarray(preds), jnp.asarray(starts), n))
+    # pad with 3 duplicates of the last window carrying garbage predictions
+    pad_starts = np.concatenate([starts, np.repeat(starts[-1:], 3)])
+    pad_preds = np.concatenate([preds, 99.0 * np.ones((3, window, 2), np.float32)])
+    valid = np.arange(len(pad_starts)) < len(starts)
+    got = np.asarray(stitch_framewise(jnp.asarray(pad_preds),
+                                      jnp.asarray(pad_starts), n,
+                                      win_valid=jnp.asarray(valid)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_framewise_stitch_constant_exact():
+    n, window, stride = 57, 16, 7
+    starts = window_starts(n, window, stride)
+    preds = jnp.ones((len(starts), window, 2)) * -0.41
+    out = np.asarray(stitch_framewise(preds, jnp.asarray(starts), n))
+    np.testing.assert_allclose(out, -0.41, rtol=1e-6)
+
+
 def test_interpolate_gaps():
     preds = np.array([[0.0, 0.0], [1.0, -1.0], [9.0, 9.0], [3.0, -3.0]], np.float32)
     valid = np.array([True, True, False, True])

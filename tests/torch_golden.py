@@ -74,10 +74,12 @@ class R2Plus1DGolden(nn.Module):
             setattr(self, f"layer{si}", nn.Sequential(*layers))
         self.avgpool = nn.AdaptiveAvgPool3d(1)
 
-    def forward(self, x):
+    def forward(self, x, per_frame=False):
         x = self.stem(x)
         for si in range(1, 5):
             x = getattr(self, f"layer{si}")(x)
+        if per_frame:
+            return x.mean(dim=(3, 4)).transpose(1, 2)  # [B, T', C]
         return self.avgpool(x).flatten(1)
 
 
@@ -96,11 +98,14 @@ class AudioCNNGolden(nn.Module):
         self.bns = nn.ModuleList(bns)
         self.head = nn.Linear(in_c, feature_dim)
 
-    def forward(self, mel):  # [B, 1, F, n_mels]
+    def forward(self, mel, per_frame=False):  # [B, 1, F, n_mels]
         x = mel
         for c, b in zip(self.convs, self.bns):
             x = torch.relu(b(c(x)))
-        x = x.mean(dim=(2, 3))
+        if per_frame:
+            x = x.mean(dim=3).transpose(1, 2)  # [B, F', C]
+        else:
+            x = x.mean(dim=(2, 3))
         return self.head(x)
 
 
@@ -108,9 +113,11 @@ class M3FGolden(nn.Module):
     """Reference-shaped fusion model: branch feats → concat → BiGRU → FC → tanh."""
 
     def __init__(self, use_audio=True, use_video=True, gru_hidden=256,
-                 audio_dim=256, visual_dim=512, num_layers=1):
+                 audio_dim=256, visual_dim=512, num_layers=1,
+                 per_frame=False, frames_per_window=16):
         super().__init__()
         self.use_audio, self.use_video = use_audio, use_video
+        self.per_frame, self.frames_per_window = per_frame, frames_per_window
         fused = (audio_dim if use_audio else 0) + (visual_dim if use_video else 0)
         if use_video:
             self.visual = R2Plus1DGolden()
@@ -120,20 +127,41 @@ class M3FGolden(nn.Module):
                           batch_first=True, bidirectional=True)
         self.head = nn.Linear(2 * gru_hidden, 2)
 
+    @staticmethod
+    def _upsample(x, length):
+        # mirrors m3f models/m3f.py:_upsample_nearest: idx[l] = floor(l·T'/L)
+        tp = x.shape[1]
+        if tp == length:
+            return x
+        idx = (torch.arange(length) * tp) // length
+        return x.index_select(1, idx)
+
     def forward(self, video=None, mel=None):
         # video: [B, W, C, T, H, W'], mel: [B, W, 1, F, n_mels]
+        pf = self.per_frame
+        if pf:
+            L = video.shape[3] if video is not None else self.frames_per_window
         feats = []
         if self.use_video:
             b, w = video.shape[:2]
-            vf = self.visual(video.reshape(b * w, *video.shape[2:]))
-            feats.append(vf.reshape(b, w, -1))
+            vf = self.visual(video.reshape(b * w, *video.shape[2:]), per_frame=pf)
+            if pf:
+                feats.append(self._upsample(vf, L).reshape(b, w * L, -1))
+            else:
+                feats.append(vf.reshape(b, w, -1))
         if self.use_audio:
             b, w = mel.shape[:2]
-            af = self.audio(mel.reshape(b * w, *mel.shape[2:]))
-            feats.append(af.reshape(b, w, -1))
+            af = self.audio(mel.reshape(b * w, *mel.shape[2:]), per_frame=pf)
+            if pf:
+                feats.append(self._upsample(af, L).reshape(b, w * L, -1))
+            else:
+                feats.append(af.reshape(b, w, -1))
         fused = torch.cat(feats, dim=-1)
         seq, _ = self.gru(fused)
-        return torch.tanh(self.head(seq))
+        out = torch.tanh(self.head(seq))
+        if pf:
+            out = out.reshape(out.shape[0], -1, L, out.shape[-1])
+        return out
 
 
 def state_dict_numpy(module: nn.Module):
