@@ -100,6 +100,12 @@ class ModelConfig:
     # Output frames per window when no video input pins it (audio-only
     # per-frame mode); with video present L is taken from the input shape.
     frames_per_window: int = 16
+    # Pretrained init (reference loads IG-65M/Kinetics state_dicts at model
+    # __init__, SURVEY §3.5): path to an .npz written by
+    # scripts/import_torch_checkpoint.py ({params, state} layout, kind in its
+    # meta). Branch kinds (r2plus1d / audio_cnn) load that branch only and
+    # leave the rest of the model freshly initialized; kind=m3f loads all.
+    init_from: str = ""
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     mel_backend: str = "xla"  # "xla" (rfft) | "pallas" (fused DFT kernel)
@@ -169,6 +175,10 @@ class TrainConfig:
     keep_checkpoints: int = 3
     seed: int = 0
     log_every: int = 50
+    # Early stopping on eval ccc_mean (reference C8 Lightning callbacks,
+    # SURVEY §2.1): stop after this many evals without improvement (0 = off).
+    early_stop_patience: int = 0
+    min_delta: float = 0.0        # improvement threshold for best/early-stop
     profile_dir: str = ""         # non-empty → jax.profiler trace around steps
     debug_nans: bool = False      # jax_debug_nans during development (SURVEY §5)
     optim: OptimConfig = field(default_factory=OptimConfig)

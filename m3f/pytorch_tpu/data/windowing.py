@@ -22,7 +22,7 @@ n_frames = 1 + samples//hop  ⇒  samples = (mel_frames − 1) · hop.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -149,3 +149,75 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
             batch = []
     if batch:
         yield batch_examples(batch)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host input partitioning (SURVEY §2.4; VERDICT r1 missing #4)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SubsetDataset:
+    """View of a dataset restricted to a subset of its video ids."""
+
+    base: object
+    ids: List[str]
+
+    def video_ids(self) -> List[str]:
+        return list(self.ids)
+
+    def load_video(self, video_id: str):
+        return self.base.load_video(video_id)
+
+
+def partition_video_ids(ids: List[str], process_index: int,
+                        process_count: int) -> List[str]:
+    """Round-robin partition: disjoint across processes, union == ids."""
+    assert 0 <= process_index < process_count, (process_index, process_count)
+    return list(ids)[process_index::process_count]
+
+
+def process_sharded_stream(dataset, sequencer: WindowSequencer,
+                           local_batch_size: int, *, seed: int = 0,
+                           loop: bool = True, shuffle_buffer: int = 0,
+                           process_index: Optional[int] = None,
+                           process_count: Optional[int] = None
+                           ) -> Iterator[Dict[str, np.ndarray]]:
+    """Per-process example stream for multi-host training.
+
+    Each process feeds a DISJOINT slice of the data so the global batch
+    assembled by ``jax.make_array_from_process_local_data`` is correct —
+    without this every host generated the same global batch and the slice
+    would train on duplicates. ``local_batch_size`` must be
+    ``global_batch / process_count``.
+
+    Partitioning: video-level round-robin (+ a per-process shuffle seed) when
+    there are at least as many videos as processes; otherwise every process
+    runs the SAME deterministic example stream (same seed) and keeps examples
+    ``i ≡ process_index (mod process_count)`` — example-level disjointness
+    that still covers everything.
+    """
+    import jax
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        yield from example_stream(dataset, sequencer, local_batch_size,
+                                  seed=seed, loop=loop,
+                                  shuffle_buffer=shuffle_buffer)
+        return
+    ids = dataset.video_ids()
+    if len(ids) >= pc:
+        sub = SubsetDataset(dataset, partition_video_ids(ids, pi, pc))
+        yield from example_stream(sub, sequencer, local_batch_size,
+                                  seed=seed + 1_000_003 * pi, loop=loop,
+                                  shuffle_buffer=shuffle_buffer)
+        return
+    src = example_stream(dataset, sequencer, 1, seed=seed, loop=loop,
+                         shuffle_buffer=shuffle_buffer)
+    batch: List[Dict[str, np.ndarray]] = []
+    for i, b in enumerate(src):
+        if i % pc != pi:
+            continue
+        batch.append(b)
+        if len(batch) == local_batch_size:
+            yield {k: np.concatenate([x[k] for x in batch]) for k in batch[0]}
+            batch = []

@@ -32,7 +32,8 @@ import numpy as np
 
 from m3f.pytorch_tpu.config import (ExperimentConfig, PRESETS, apply_overrides)
 from m3f.pytorch_tpu.data.synthetic import SyntheticAVDataset
-from m3f.pytorch_tpu.data.windowing import WindowSequencer, example_stream
+from m3f.pytorch_tpu.data.windowing import (WindowSequencer,
+                                            process_sharded_stream)
 from m3f.pytorch_tpu.parallel.mesh import maybe_initialize_distributed
 from m3f.pytorch_tpu.train.checkpoint import Checkpointer
 from m3f.pytorch_tpu.train.loop import Trainer
@@ -65,21 +66,36 @@ def make_dataset(cfg: ExperimentConfig, split: str):
 
 
 def cmd_train(cfg: ExperimentConfig, args) -> int:
+    if getattr(args, "init_from", ""):
+        from m3f.pytorch_tpu.config import apply_overrides as _ov
+        cfg = _ov(cfg, {"model.init_from": args.init_from})
     if cfg.train.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
     maybe_initialize_distributed()
+    import jax
     trainer = Trainer(cfg)
     ds = make_dataset(cfg, "train")
     seq = WindowSequencer(cfg.window, cfg.model.mel, fps=cfg.data.fps,
                           mel_frames=cfg.model.audio.mel_frames_per_window,
                           per_frame=cfg.model.per_frame)
+    # each process feeds a DISJOINT local shard of global_batch/process_count
+    # (shard_batch assembles the global array via
+    # make_array_from_process_local_data); single-process this is the plain
+    # example stream with the full batch
+    pc = jax.process_count()
+    if cfg.train.batch_size % pc:
+        raise SystemExit(f"train.batch_size={cfg.train.batch_size} must be "
+                         f"divisible by process_count={pc}")
     from m3f.pytorch_tpu.data.native_loader import Prefetcher
     stream = Prefetcher(
-        example_stream(ds, seq, cfg.train.batch_size, seed=cfg.train.seed,
-                       shuffle_buffer=cfg.data.shuffle_buffer),
+        process_sharded_stream(ds, seq, cfg.train.batch_size // pc,
+                               seed=cfg.train.seed,
+                               shuffle_buffer=cfg.data.shuffle_buffer),
         depth=cfg.data.prefetch)
-    val = make_dataset(cfg, "val") if args.eval_during_training else None
+    # eval-during-training is the DEFAULT (best-checkpoint tracking + early
+    # stopping depend on it, reference C8); --no-eval opts out
+    val = None if args.no_eval else make_dataset(cfg, "val")
     ckpt = Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints, cfg)
     writer = MetricWriter(cfg.train.checkpoint_dir, "train")
 
@@ -99,9 +115,10 @@ def cmd_eval(cfg: ExperimentConfig, args) -> int:
     trainer = Trainer(cfg)
     state = trainer.init_state()
     if args.checkpoint:
-        from m3f.pytorch_tpu.train.checkpoint import load_pytree
-        import jax
-        state = load_pytree(jax.device_get(state), args.checkpoint)
+        # accepts full TrainState ckpts AND import_torch_checkpoint.py
+        # {params,state} npz files (imported reference/torch weights)
+        from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
+        state = load_model_checkpoint(state, args.checkpoint)
     ds = make_dataset(cfg, "val")
     res = trainer.evaluate(state, ds, max_videos=args.max_videos)
     print(json.dumps(res))
@@ -114,9 +131,8 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
     trainer = Trainer(cfg)
     state = trainer.init_state()
     if args.checkpoint:
-        from m3f.pytorch_tpu.train.checkpoint import load_pytree
-        import jax
-        state = load_pytree(jax.device_get(state), args.checkpoint)
+        from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
+        state = load_model_checkpoint(state, args.checkpoint)
     ds = make_dataset(cfg, "val")
     preds: Dict[str, np.ndarray] = {}
     valids: Dict[str, np.ndarray] = {}
@@ -152,7 +168,11 @@ def main(argv=None) -> int:
         sp.add_argument("--preset", default="fusion", choices=sorted(PRESETS))
         sp.add_argument("overrides", nargs="*", help="dotted key=value config overrides")
         if name == "train":
-            sp.add_argument("--eval-during-training", action="store_true")
+            sp.add_argument("--no-eval", action="store_true",
+                            help="skip periodic eval (disables best-ckpt/early stop)")
+            sp.add_argument("--init-from", default="",
+                            help="pretrained .npz from import_torch_checkpoint.py "
+                                 "(backbone-only or full model; = model.init_from)")
         else:
             sp.add_argument("--checkpoint", default="")
             sp.add_argument("--max-videos", type=int, default=0)

@@ -45,6 +45,31 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+class BestTracker:
+    """Best-metric + patience tracking (reference C8: Lightning
+    ModelCheckpoint(monitor=val CCC) + EarlyStopping, SURVEY §2.1/§3.2).
+
+    ``update(metric)`` → ``(is_best, should_stop)``; higher is better.
+    ``patience=0`` disables early stopping (best tracking stays on).
+    """
+
+    def __init__(self, patience: int = 0, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = -float("inf")
+        self.best_step = -1
+        self.bad_evals = 0
+
+    def update(self, metric: float, step: int = -1) -> Tuple[bool, bool]:
+        if metric > self.best + self.min_delta:
+            self.best = metric
+            self.best_step = step
+            self.bad_evals = 0
+            return True, False
+        self.bad_evals += 1
+        return False, self.patience > 0 and self.bad_evals >= self.patience
+
+
 def make_optimizer(cfg: OptimConfig,
                    num_steps: int = 100_000) -> optax.GradientTransformation:
     if cfg.schedule == "cosine":
@@ -88,6 +113,13 @@ class Trainer:
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         params, bn_state = self.model.init(
             jax.random.PRNGKey(self.cfg.train.seed if seed is None else seed))
+        if self.cfg.model.init_from:
+            # pretrained backbone init (reference loads state_dicts at model
+            # __init__, SURVEY §3.5); a resume checkpoint still wins later in
+            # fit() via Checkpointer.maybe_restore
+            from m3f.pytorch_tpu.train.checkpoint import load_pretrained_init
+            params, bn_state = load_pretrained_init(
+                params, bn_state, self.cfg.model.init_from)
         opt_state = self.tx.init(params)
         state = TrainState(params, bn_state, opt_state, jnp.zeros((), jnp.int32))
         rep = replicated(self.mesh)
@@ -285,6 +317,7 @@ class Trainer:
             state = checkpointer.maybe_restore(state, self)
         train_step = self.make_train_step()
         history = {"loss": []}
+        best = BestTracker(tcfg.early_stop_patience, tcfg.min_delta)
         t0 = time.time()
         seen = 0
         use_a, use_v = self.cfg.model.use_audio, self.cfg.model.use_video
@@ -329,6 +362,14 @@ class Trainer:
                 history.setdefault("eval", []).append(ev)
                 if metric_writer is not None:
                     metric_writer.write(i + 1, {f"eval_{k}": v for k, v in ev.items()})
+                is_best, should_stop = best.update(ev["ccc_mean"], i + 1)
+                if is_best and checkpointer is not None:
+                    checkpointer.save_best(state, ev["ccc_mean"])
+                if should_stop:
+                    log(f"early stop @{i+1}: no ccc_mean improvement for "
+                        f"{best.bad_evals} evals (best {best.best:.4f} "
+                        f"@step {best.best_step})")
+                    break
             if checkpointer is not None and (i + 1) % tcfg.checkpoint_every == 0:
                 checkpointer.save(state)
         if profiling:
