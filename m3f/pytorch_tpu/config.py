@@ -67,6 +67,11 @@ class VisualNetConfig:
     feature_dim: int = 512
     frames: int = 16
     size: int = 112
+    # "pallas_fused" routes every stride-1 block conv through the fused
+    # affine+relu→conv→stats Pallas unit (ops/pallas/conv_bn.py) — identical
+    # math and parameters, the BN reductions ride the conv kernels. "xla" is
+    # the plain composition (strided blocks and the stem always use it).
+    conv_backend: str = "xla"
 
 
 @dataclass(frozen=True)

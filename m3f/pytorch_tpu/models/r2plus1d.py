@@ -24,6 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -74,6 +75,22 @@ class Conv2Plus1D:
         x = relu(x)
         x = temporal.apply(params["temporal"], x)
         return x, {"bn_mid": ns}
+
+    def apply_fused(self, params, state, x, train, inv_in=None, shift_in=None):
+        """Fused-kernel path (stride-1 only): spatial conv_unit → mid-BN affine
+        folded into the temporal conv_unit's prologue. Returns the temporal
+        conv's output plus ITS channel stats (for the caller's BatchNorm).
+        Identical parameters and math as ``apply`` (ops/pallas/conv_bn.py)."""
+        from m3f.pytorch_tpu.ops.pallas.conv_bn import conv_unit
+        assert self.stride == (1, 1, 1), "fused path is stride-1 only"
+        ws = params["spatial"]["kernel"][0]           # (1,3,3,ci,mid) → [3,3,ci,mid]
+        y1, s1, s2 = conv_unit(x, ws, inv_in, shift_in, kind="spatial")
+        count = float(np.prod(y1.shape[:-1]))
+        inv_m, shift_m, ns = BatchNorm(self.mid).affine_from_stats(
+            params["bn_mid"], state["bn_mid"], s1, s2, count, train)
+        wt = params["temporal"]["kernel"][:, 0, 0]    # (3,1,1,mid,co) → [3,mid,co]
+        y2, s1b, s2b = conv_unit(y1, wt, inv_m, shift_m, kind="temporal")
+        return y2, (s1b, s2b), {"bn_mid": ns}
 
 
 @dataclass(frozen=True)
@@ -127,6 +144,26 @@ class BasicBlock:
         else:
             sc = x
         return relu(y + sc), ns
+
+    def apply_fused(self, params, state, x, train):
+        """Fused-kernel block (identity-shortcut, stride-1 blocks only):
+        both Conv2Plus1D units run as Pallas conv_units with the BN affines
+        riding prologues/epilogues; only bn2's normalize + residual add +
+        relu remain as (fusable) XLA elementwise ops."""
+        conv1, bn1, conv2, bn2, down = self._layers()
+        assert down is None and self.stride == (1, 1, 1)
+        ns = {}
+        y, (s1a, s2a), ns["conv1"] = conv1.apply_fused(
+            params["conv1"], state["conv1"], x, train)
+        count = float(np.prod(x.shape[:-1]))
+        inv1, shift1, ns["bn1"] = bn1.affine_from_stats(
+            params["bn1"], state["bn1"], s1a, s2a, count, train)
+        y2, (s1b, s2b), ns["conv2"] = conv2.apply_fused(
+            params["conv2"], state["conv2"], y, train, inv1, shift1)
+        inv2, shift2, ns["bn2"] = bn2.affine_from_stats(
+            params["bn2"], state["bn2"], s1b, s2b, count, train)
+        y2n = y2 * inv2.astype(y2.dtype) + shift2.astype(y2.dtype)
+        return relu(y2n + x), ns
 
 
 @dataclass(frozen=True)
@@ -185,8 +222,18 @@ class R2Plus1D:
         x, ns2 = s_bn2.apply(params["stem"]["bn2"], state["stem"]["bn2"], x, train)
         x = relu(x)
         new_state = {"stem": {"bn1": ns1, "bn2": ns2}, "blocks": []}
+        fused = self.cfg.conv_backend == "pallas_fused"
+        if fused:
+            from m3f.pytorch_tpu.ops.pallas import conv_bn
+            # the all-Pallas backward needs its dW accumulator in VMEM —
+            # only viable for the small-channel stages; the default hybrid
+            # (Pallas fwd + XLA bwd) has no such limit
+            max_c = 128 if conv_bn.backward_impl == "pallas" else 1 << 30
         for blk, bp, bs in zip(self._blocks(), params["blocks"], state["blocks"]):
-            x, ns = blk.apply(bp, bs, x, train)
+            if fused and not blk.has_downsample and blk.out_c <= max_c:
+                x, ns = blk.apply_fused(bp, bs, x, train)
+            else:
+                x, ns = blk.apply(bp, bs, x, train)
             new_state["blocks"].append(ns)
         if per_frame:
             return jnp.mean(x, axis=(2, 3)), new_state  # [B, T', C]

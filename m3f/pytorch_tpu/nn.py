@@ -175,6 +175,32 @@ class BatchNorm:
         y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
         return y, new_state
 
+    def affine_from_stats(self, params: Params, state: State,
+                          s1: jnp.ndarray, s2: jnp.ndarray, count: float,
+                          train: bool) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
+        """Per-channel (inv, shift) from PRECOMPUTED channel sums.
+
+        Used by the fused conv+BN Pallas path (ops/pallas/conv_bn.py): the
+        producing conv emits s1 = Σx, s2 = Σx² in its epilogue, this computes
+        the same normalize affine as ``apply`` (identical formulas), and the
+        affine is folded into the CONSUMING op's prologue — the activation
+        never makes a standalone normalize/stats pass over HBM.
+        """
+        if train:
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
+            unbiased = var * (count / max(count - 1.0, 1.0))
+            new_state = {
+                "mean": (1 - self.momentum) * state["mean"] + self.momentum * mean,
+                "var": (1 - self.momentum) * state["var"] + self.momentum * unbiased,
+            }
+        else:
+            mean, var = state["mean"], state["var"]
+            new_state = state
+        inv = jax.lax.rsqrt(var + self.eps) * params["scale"]
+        shift = params["bias"] - mean * inv
+        return inv, shift, new_state
+
 
 def relu(x):
     return jnp.maximum(x, 0)

@@ -1,0 +1,801 @@
+"""Fused conv + BatchNorm Pallas kernels for the R(2+1)D stage convs.
+
+Capability parity: the reference's cuDNN Conv3d+BatchNorm3d blocks
+(torch ``video/resnet.py`` recipe, SURVEY.md §2.2).  TPU motivation
+(BASELINE.md profile, VERDICT r1 weak #1): at stage-1 shapes
+([512, 56, 56, 64/144]) the standalone BN statistics and BN-backward
+reductions run at ~150-170 GB/s — a VPU convert-accumulate / tile-padding
+wall (C=64/144 pads to 128/256 lanes) — and cost ~36% of the train step.
+The fix is structural: compute those reductions while the tensors are
+VMEM-resident inside the convolutions that already stream them.
+
+The fused unit (one ``pallas_call`` per conv):
+
+    prologue:  x̂ = max(x·inv + shift, 0)      (previous BN's normalize+ReLU,
+                                               per-channel fp32 consts; or
+                                               identity at a block boundary)
+    conv:      y = x̂ ⊛ W                       (im2col in VMEM → ONE MXU
+                                               matmul per image)
+    epilogue:  s1 = Σ y, s2 = Σ y²             (per-channel fp32, accumulated
+                                               across the sequential grid)
+
+so the NEXT BatchNorm's statistics are free, and the previous BatchNorm's
+normalize never touches HBM.  The custom VJP (see ``conv_unit``) folds the
+matching backward reductions into the transposed-conv and filter-grad
+kernels the same way.
+
+Supported shapes (v1): stride-1 ``(1,3,3)`` spatial and ``(3,1,1)`` temporal
+convs in NDHWC — every conv of R(2+1)D stage 1 and the non-downsampling
+blocks of stages 2-4.  Strided convs and the stem stay on XLA
+(models/r2plus1d.py routes per-conv).
+
+Grid design: one grid step per (batch·T) image (spatial) or per batch row
+(temporal); the whole padded image lives in VMEM (~0.5-4 MB at stage-1
+sizes), so 3×3 taps are plain VMEM slices — no halo exchange.  Pallas
+pipelines the next image's DMA behind the current matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Forward kernels
+# ---------------------------------------------------------------------------
+
+def _prologue(x, inv, shift):
+    """Previous-BN normalize + ReLU in compute dtype (matches nn.BatchNorm's
+    ``x * inv.astype(x.dtype) + shift.astype(x.dtype)`` then relu)."""
+    if inv is None:
+        return x
+    xh = x * inv + shift
+    return jnp.maximum(xh, jnp.zeros_like(xh))
+
+
+def _spatial_fwd_kernel(have_affine, H, W, C_in, C_out,
+                        *refs):
+    """One image [1, H, W, C_in] → y [1, H, W, C_out] + channel sums.
+
+    3×3 stride-1 pad-1 conv as im2col: padded x̂ [H+2, W+2, C] is built in
+    scratch, the 9 taps are copied into an im2col buffer [H·W, 9·C], and ONE
+    [H·W, 9C]×[9C, C_out] MXU matmul produces the image.
+    """
+    if have_affine:
+        x_ref, w_ref, inv_ref, shift_ref, y_ref, s1_ref, s2_ref, xp_ref, col_ref = refs
+    else:
+        x_ref, w_ref, y_ref, s1_ref, s2_ref, xp_ref, col_ref = refs
+
+    n = pl.program_id(0)
+    dtype = x_ref.dtype
+
+    # ---- prologue into zero-padded scratch [H+2, W+2, C_in]
+    x = x_ref[0, 0]
+    if have_affine:
+        x = _prologue(x, inv_ref[0].astype(dtype)[None, None, :],
+                      shift_ref[0].astype(dtype)[None, None, :])
+    xp_ref[0, :] = jnp.zeros((W + 2, C_in), dtype)          # top pad row
+    xp_ref[H + 1, :] = jnp.zeros((W + 2, C_in), dtype)      # bottom pad row
+    xp_ref[1:H + 1, 0] = jnp.zeros((H, C_in), dtype)        # left pad col
+    xp_ref[1:H + 1, W + 1] = jnp.zeros((H, C_in), dtype)    # right pad col
+    xp_ref[1:H + 1, 1:W + 1] = x
+
+    # ---- im2col [H·W, 9·C_in]: tap (dh, dw) occupies columns
+    #      [(dh*3+dw)·C : +C], rows are output pixels in (h, w) raster order
+    for dh in range(3):
+        for dw in range(3):
+            tap = xp_ref[dh:dh + H, dw:dw + W]              # [H, W, C]
+            col_ref[:, (dh * 3 + dw) * C_in:(dh * 3 + dw + 1) * C_in] = (
+                tap.reshape(H * W, C_in))
+
+    # ---- ONE MXU matmul, fp32 accumulation
+    acc = jnp.dot(col_ref[:], w_ref[:],
+                  preferred_element_type=jnp.float32)       # [H·W, C_out]
+    y = acc.astype(dtype)
+    y_ref[0, 0] = y.reshape(H, W, C_out)
+
+    # ---- epilogue: channel sum / sum-of-squares of the EMITTED (rounded)
+    #      activation, accumulated across the sequential grid
+    yf = y.astype(jnp.float32)
+    t1 = jnp.sum(yf, axis=0)
+    t2 = jnp.sum(yf * yf, axis=0)
+
+    @pl.when(n == 0)
+    def _init():
+        s1_ref[0] = t1
+        s2_ref[0] = t2
+
+    @pl.when(n != 0)
+    def _acc():
+        s1_ref[0] = s1_ref[0] + t1
+        s2_ref[0] = s2_ref[0] + t2
+
+
+def _temporal_im2col(col_ref, x, T, P, C, dtype):
+    """T-axis im2col into ``col_ref`` [T·P, 3·C].
+
+    Row t·P+p carries [x[t-1,p], x[t,p], x[t+1,p]]; the out-of-range edge taps
+    are zero (the conv's T padding).
+    """
+    col_ref[:, C:2 * C] = x.reshape(T * P, C)
+    col_ref[:P, 0:C] = jnp.zeros((P, C), dtype)
+    col_ref[P:, 0:C] = x[:T - 1].reshape((T - 1) * P, C)
+    col_ref[(T - 1) * P:, 2 * C:] = jnp.zeros((P, C), dtype)
+    col_ref[:(T - 1) * P, 2 * C:] = x[1:].reshape((T - 1) * P, C)
+
+
+def _temporal_fwd_kernel(have_affine, T, P, C_in, C_out, *refs):
+    """One pixel-strip [T, rows, W, C_in] → y + channel sums (P = rows·W).
+
+    (3,1,1) stride-1 pad-1 conv: T is fully resident; a T-axis im2col
+    [T·P, 3·C_in] feeds ONE MXU matmul (K = 3·C_in).
+    """
+    if have_affine:
+        x_ref, w_ref, inv_ref, shift_ref, y_ref, s1_ref, s2_ref, col_ref = refs
+    else:
+        x_ref, w_ref, y_ref, s1_ref, s2_ref, col_ref = refs
+
+    n = pl.program_id(0)
+    dtype = x_ref.dtype
+
+    x = x_ref[0].reshape(T, P, C_in)                        # [T, P, C_in]
+    if have_affine:
+        x = _prologue(x, inv_ref[0].astype(dtype)[None, None, :],
+                      shift_ref[0].astype(dtype)[None, None, :])
+
+    _temporal_im2col(col_ref, x, T, P, C_in, dtype)
+    y = jnp.dot(col_ref[:], w_ref[:],
+                preferred_element_type=jnp.float32).astype(dtype)
+    y_ref[0] = y.reshape(y_ref.shape[1:])
+
+    yf = y.astype(jnp.float32)
+    t1 = jnp.sum(yf, axis=0)
+    t2 = jnp.sum(yf * yf, axis=0)
+
+    @pl.when(n == 0)
+    def _init():
+        s1_ref[0] = t1
+        s2_ref[0] = t2
+
+    @pl.when(n != 0)
+    def _acc():
+        s1_ref[0] = s1_ref[0] + t1
+        s2_ref[0] = s2_ref[0] + t2
+
+
+def _spatial_fwd(x, w, inv, shift, *, interpret=False):
+    """x [B, T, H, W, C_in], w [3, 3, C_in, C_out] → (y [B,T,H,W,C_out], s1, s2).
+
+    Grid = B·T images; one padded image resident in VMEM per step.
+    """
+    b, t, h, wd, ci = x.shape
+    co = w.shape[-1]
+    have_affine = inv is not None
+    kern = functools.partial(_spatial_fwd_kernel, have_affine, h, wd, ci, co)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, h, wd, ci), lambda i: (i // t, i % t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9 * ci, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w.reshape(9 * ci, co)]
+    if have_affine:
+        in_specs += [pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        args += [inv.reshape(1, ci), shift.reshape(1, ci)]
+    out = pl.pallas_call(
+        kern,
+        grid=(b * t,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, h, wd, co), lambda i: (i // t, i % t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, wd, co), x.dtype),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, wd + 2, ci), x.dtype),       # padded x̂
+            pltpu.VMEM((h * wd, 9 * ci), x.dtype),          # im2col
+        ],
+        interpret=interpret,
+    )(*args)
+    y, s1, s2 = out
+    return y, s1[0], s2[0]
+
+
+def _temporal_fwd(x, w, inv, shift, *, rows=0, interpret=False):
+    """x [B, T, H, W, C_in], w [3, C_in, C_out] → (y, s1, s2).
+
+    Grid = B · H/rows strips; each block [1, T, rows, W, C] has T fully
+    resident, so the 3 temporal taps are plain T-slices (no halo).
+    """
+    b, t, h, wd, ci = x.shape
+    co = w.shape[-1]
+    if not rows:
+        # working set per H-row: x, y blocks (double-buffered) + im2col
+        per_row = t * wd * ((ci + co) * 2 * 2 + 3 * ci * 2 + ci * 2)
+        rows = max(1, min(h, (6 << 20) // per_row))
+    while h % rows:
+        rows -= 1
+    hs = h // rows
+    n = b * hs
+    p = rows * wd
+    have_affine = inv is not None
+    kern = functools.partial(_temporal_fwd_kernel, have_affine, t, p, ci, co)
+
+    in_specs = [
+        pl.BlockSpec((1, t, rows, wd, ci),
+                     lambda i: (i // hs, 0, i % hs, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * ci, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w.reshape(3 * ci, co)]
+    if have_affine:
+        in_specs += [pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        args += [inv.reshape(1, ci), shift.reshape(1, ci)]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, t, rows, wd, co),
+                         lambda i: (i // hs, 0, i % hs, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, wd, co), x.dtype),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((t * p, 3 * ci), x.dtype),           # T-axis im2col
+        ],
+        interpret=interpret,
+    )(*args)
+    y, s1, s2 = out
+    return y, s1[0], s2[0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+#
+# Cotangents (gy, gs1, gs2) fold into an effective output gradient
+#     gy_eff = gy + bf16(gs1 + 2·f32(y)·gs2)
+# computed in each kernel's prologue (y and gy are streamed by the backward
+# convolutions anyway — this is how the standalone BN-backward reductions
+# disappear).  With an affine prologue on the forward, the data-gradient
+# kernel additionally applies the ReLU mask + inv and accumulates the
+# per-channel dinv/dshift reductions in its epilogue.
+
+def _gy_eff(gy, y, gs1, gs2):
+    dtype = gy.dtype
+    add = gs1.astype(jnp.float32) + 2.0 * y.astype(jnp.float32) * gs2.astype(jnp.float32)
+    return gy + add.astype(dtype)
+
+
+def _spatial_bwd_data_kernel(have_affine, H, W, C_in, C_out, n_strips, *refs):
+    """dx for the (1,3,3) unit: transposed conv of gy_eff (+ mask/affine)."""
+    if have_affine:
+        (gy_ref, y_ref, x_ref, wf_ref, gs1_ref, gs2_ref, inv_ref, shift_ref,
+         dx_ref, dinv_ref, dshift_ref, gp_ref, col_ref) = refs
+    else:
+        (gy_ref, y_ref, wf_ref, gs1_ref, gs2_ref,
+         dx_ref, gp_ref, col_ref) = refs
+
+    n = pl.program_id(0)
+    dtype = gy_ref.dtype
+
+    ge = _gy_eff(gy_ref[0, 0], y_ref[0, 0],
+                 gs1_ref[0][None, None, :], gs2_ref[0][None, None, :])
+    gp_ref[0, :] = jnp.zeros((W + 2, C_out), dtype)
+    gp_ref[H + 1, :] = jnp.zeros((W + 2, C_out), dtype)
+    gp_ref[1:H + 1, 0] = jnp.zeros((H, C_out), dtype)
+    gp_ref[1:H + 1, W + 1] = jnp.zeros((H, C_out), dtype)
+    gp_ref[1:H + 1, 1:W + 1] = ge
+
+    # dx̂[h,w] = Σ_{dh,dw} gy_eff[h - (dh-1), w - (dw-1)] · W[dh,dw]ᵀ
+    #         = Σ_tap gp[(2-dh):(2-dh)+H, (2-dw):(2-dw)+W] @ Wᵀ[dh,dw].
+    # wf_ref holds the flipped-transposed taps FLAT [9·C_out, C_in] with tap
+    # (dh,dw) at rows [(dh·3+dw)·C_out, +C_out) — so an im2col of gp in the
+    # standard layout contracts against it in ONE MXU matmul.  The image is
+    # processed in H-strips so the 9·C_out-wide im2col fits VMEM.
+    sh = H // n_strips
+    parts = []
+    for s in range(n_strips):
+        for dh in range(3):
+            for dw in range(3):
+                tap = gp_ref[s * sh + dh:s * sh + dh + sh, dw:dw + W]
+                col_ref[:, (dh * 3 + dw) * C_out:(dh * 3 + dw + 1) * C_out] = (
+                    tap.reshape(sh * W, C_out))
+        parts.append(jnp.dot(col_ref[:], wf_ref[:],
+                             preferred_element_type=jnp.float32))
+    dxh = jnp.concatenate(parts, axis=0).astype(dtype).reshape(H, W, C_in)
+
+    if have_affine:
+        inv = inv_ref[0].astype(dtype)[None, None, :]
+        shift = shift_ref[0].astype(dtype)[None, None, :]
+        x = x_ref[0, 0]
+        xa = x * inv + shift
+        # compare in fp32 — Mosaic has no bf16 vector compare on this target
+        mask = xa.astype(jnp.float32) > 0.0
+        dxa = jnp.where(mask, dxh, jnp.zeros_like(dxh))
+        dx_ref[0, 0] = dxa * inv
+        t1 = jnp.sum(x.astype(jnp.float32) * dxa.astype(jnp.float32), axis=(0, 1))
+        t2 = jnp.sum(dxa.astype(jnp.float32), axis=(0, 1))
+
+        @pl.when(n == 0)
+        def _init():
+            dinv_ref[0] = t1
+            dshift_ref[0] = t2
+
+        @pl.when(n != 0)
+        def _acc():
+            dinv_ref[0] = dinv_ref[0] + t1
+            dshift_ref[0] = dshift_ref[0] + t2
+    else:
+        dx_ref[0, 0] = dxh
+
+
+def _spatial_bwd_filter_kernel(have_affine, H, W, C_in, C_out, n_strips, *refs):
+    """dW for the (1,3,3) unit: strip-wise im2col(x̂)ᵀ @ gy_eff (K = sh·W),
+    fp32-accumulated across strips and grid steps."""
+    if have_affine:
+        (x_ref, gy_ref, y_ref, gs1_ref, gs2_ref, inv_ref, shift_ref,
+         dw_ref, xp_ref, col_ref) = refs
+    else:
+        (x_ref, gy_ref, y_ref, gs1_ref, gs2_ref,
+         dw_ref, xp_ref, col_ref) = refs
+
+    n = pl.program_id(0)
+    dtype = x_ref.dtype
+
+    x = x_ref[0, 0]
+    if have_affine:
+        x = _prologue(x, inv_ref[0].astype(dtype)[None, None, :],
+                      shift_ref[0].astype(dtype)[None, None, :])
+    xp_ref[0, :] = jnp.zeros((W + 2, C_in), dtype)
+    xp_ref[H + 1, :] = jnp.zeros((W + 2, C_in), dtype)
+    xp_ref[1:H + 1, 0] = jnp.zeros((H, C_in), dtype)
+    xp_ref[1:H + 1, W + 1] = jnp.zeros((H, C_in), dtype)
+    xp_ref[1:H + 1, 1:W + 1] = x
+
+    sh = H // n_strips
+    acc = None
+    for s in range(n_strips):
+        for dh in range(3):
+            for dw in range(3):
+                tap = xp_ref[s * sh + dh:s * sh + dh + sh, dw:dw + W]
+                col_ref[:, (dh * 3 + dw) * C_in:(dh * 3 + dw + 1) * C_in] = (
+                    tap.reshape(sh * W, C_in))
+        # gy_eff computed per strip to keep the VMEM stack small
+        ge_s = _gy_eff(gy_ref[0, 0, s * sh:(s + 1) * sh],
+                       y_ref[0, 0, s * sh:(s + 1) * sh],
+                       gs1_ref[0][None, None, :], gs2_ref[0][None, None, :]
+                       ).reshape(sh * W, C_out)
+        part = jax.lax.dot_general(
+            col_ref[:], ge_s,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [9·C_in, C_out]
+        acc = part if acc is None else acc + part
+
+    @pl.when(n == 0)
+    def _init():
+        dw_ref[:] = acc
+
+    @pl.when(n != 0)
+    def _acc():
+        dw_ref[:] = dw_ref[:] + acc
+
+
+def _temporal_bwd_data_kernel(have_affine, T, P, C_in, C_out, *refs):
+    """dx for the (3,1,1) unit: reversed-tap conv of gy_eff (+ mask/affine)."""
+    if have_affine:
+        (gy_ref, y_ref, x_ref, wt_ref, gs1_ref, gs2_ref, inv_ref, shift_ref,
+         dx_ref, dinv_ref, dshift_ref, acc_ref) = refs
+    else:
+        (gy_ref, y_ref, wt_ref, gs1_ref, gs2_ref, dx_ref, acc_ref) = refs
+
+    n = pl.program_id(0)
+    dtype = gy_ref.dtype
+
+    ge = _gy_eff(gy_ref[0].reshape(T, P, C_out), y_ref[0].reshape(T, P, C_out),
+                 gs1_ref[0][None, None, :], gs2_ref[0][None, None, :])
+    # forward: y[t] = x[t-1]·w0 + x[t]·w1 + x[t+1]·w2
+    # ⇒ dx[t] = ge[t+1]·w0ᵀ + ge[t]·w1ᵀ + ge[t-1]·w2ᵀ.  Reusing the standard
+    # im2col layout (tap k carries ge[t+k-1]) this is ONE matmul against
+    # wt_ref = [w2ᵀ; w1ᵀ; w0ᵀ] (rows tap-major).
+    _temporal_im2col(acc_ref, ge, T, P, C_out, dtype)
+    dxh = jnp.dot(acc_ref[:], wt_ref[:],
+                  preferred_element_type=jnp.float32
+                  ).astype(dtype).reshape(T, P, C_in)
+
+    if have_affine:
+        inv = inv_ref[0].astype(dtype)[None, None, :]
+        shift = shift_ref[0].astype(dtype)[None, None, :]
+        x = x_ref[0].reshape(T, P, C_in)
+        xa = x * inv + shift
+        # compare in fp32 — Mosaic has no bf16 vector compare on this target
+        mask = xa.astype(jnp.float32) > 0.0
+        dxa = jnp.where(mask, dxh, jnp.zeros_like(dxh))
+        dx_ref[0] = (dxa * inv).reshape(dx_ref.shape[1:])
+        t1 = jnp.sum(x.astype(jnp.float32) * dxa.astype(jnp.float32), axis=(0, 1))
+        t2 = jnp.sum(dxa.astype(jnp.float32), axis=(0, 1))
+
+        @pl.when(n == 0)
+        def _init():
+            dinv_ref[0] = t1
+            dshift_ref[0] = t2
+
+        @pl.when(n != 0)
+        def _acc():
+            dinv_ref[0] = dinv_ref[0] + t1
+            dshift_ref[0] = dshift_ref[0] + t2
+    else:
+        dx_ref[0] = dxh.reshape(dx_ref.shape[1:])
+
+
+def _temporal_bwd_filter_kernel(have_affine, T, P, C_in, C_out, *refs):
+    """dW for the (3,1,1) unit: im2col(x̂)ᵀ @ gy_eff, fp32-accumulated."""
+    if have_affine:
+        (x_ref, gy_ref, y_ref, gs1_ref, gs2_ref, inv_ref, shift_ref,
+         dw_ref, col_ref) = refs
+    else:
+        (x_ref, gy_ref, y_ref, gs1_ref, gs2_ref, dw_ref, col_ref) = refs
+
+    n = pl.program_id(0)
+    dtype = x_ref.dtype
+
+    x = x_ref[0].reshape(T, P, C_in)
+    if have_affine:
+        x = _prologue(x, inv_ref[0].astype(dtype)[None, None, :],
+                      shift_ref[0].astype(dtype)[None, None, :])
+    ge = _gy_eff(gy_ref[0].reshape(T, P, C_out), y_ref[0].reshape(T, P, C_out),
+                 gs1_ref[0][None, None, :], gs2_ref[0][None, None, :])
+
+    # dW_flat[k·C_in + ci, co] = Σ_{t,p} x[t+k-1, p, ci] · ge[t, p, co]
+    # — the forward im2col of x̂ contracted against ge over all T·P rows
+    _temporal_im2col(col_ref, x, T, P, C_in, dtype)
+    part = jax.lax.dot_general(
+        col_ref[:], ge.reshape(T * P, C_out),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [3·C_in, C_out]
+
+    @pl.when(n == 0)
+    def _init():
+        dw_ref[:] = part
+
+    @pl.when(n != 0)
+    def _acc():
+        dw_ref[:] = dw_ref[:] + part
+
+
+# ---------------------------------------------------------------------------
+# Backward drivers
+# ---------------------------------------------------------------------------
+
+def _n_strips(h, wd, cols, budget=1 << 20):
+    """Smallest divisor of ``h`` whose strip im2col [sh·wd, cols] fits budget."""
+    for s in range(1, h + 1):
+        if h % s == 0 and (h // s) * wd * cols * 2 <= budget:
+            return s
+    return h
+
+
+def _spatial_bwd(x, w, inv, shift, y, gy, gs1, gs2, *, interpret=False):
+    b, t, h, wd, ci = x.shape
+    co = w.shape[-1]
+    have_affine = inv is not None
+    # flipped-transposed taps FLAT: rows [(dh·3+dw)·co, +co) = W[2-dh, 2-dw]ᵀ
+    wf = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2).reshape(9 * co, ci)
+    img = pl.BlockSpec((1, 1, h, wd, co), lambda i: (i // t, i % t, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    img_in = pl.BlockSpec((1, 1, h, wd, ci), lambda i: (i // t, i % t, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vec_co = pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec_ci = pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    # ---- data gradient (+ dinv/dshift under affine)
+    ns_d = _n_strips(h, wd, 9 * co)
+    kern = functools.partial(_spatial_bwd_data_kernel, have_affine,
+                             h, wd, ci, co, ns_d)
+    wf_spec = pl.BlockSpec((9 * co, ci), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    if have_affine:
+        in_specs = [img, img, img_in, wf_spec, vec_co, vec_co, vec_ci, vec_ci]
+        args = [gy, y, x, wf, gs1.reshape(1, co), gs2.reshape(1, co),
+                inv.reshape(1, ci), shift.reshape(1, ci)]
+        out_specs = (img_in, vec_ci, vec_ci)
+        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),
+                     jax.ShapeDtypeStruct((1, ci), jnp.float32),
+                     jax.ShapeDtypeStruct((1, ci), jnp.float32))
+    else:
+        in_specs = [img, img, wf_spec, vec_co, vec_co]
+        args = [gy, y, wf, gs1.reshape(1, co), gs2.reshape(1, co)]
+        out_specs = (img_in,)
+        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),)
+    data_out = pl.pallas_call(
+        kern, grid=(b * t,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((h + 2, wd + 2, co), gy.dtype),
+                        pltpu.VMEM(((h // ns_d) * wd, 9 * co), gy.dtype)],
+        interpret=interpret,
+    )(*args)
+
+    # ---- filter gradient
+    ns_f = _n_strips(h, wd, 9 * ci)
+    kern = functools.partial(_spatial_bwd_filter_kernel, have_affine,
+                             h, wd, ci, co, ns_f)
+    in_specs = [img_in, img, img, vec_co, vec_co]
+    args = [x, gy, y, gs1.reshape(1, co), gs2.reshape(1, co)]
+    if have_affine:
+        in_specs += [vec_ci, vec_ci]
+        args += [inv.reshape(1, ci), shift.reshape(1, ci)]
+    dw = pl.pallas_call(
+        kern, grid=(b * t,), in_specs=in_specs,
+        out_specs=pl.BlockSpec((9 * ci, co), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9 * ci, co), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h + 2, wd + 2, ci), x.dtype),
+                        pltpu.VMEM(((h // ns_f) * wd, 9 * ci), x.dtype)],
+        interpret=interpret,
+    )(*args)
+    dw = dw.reshape(3, 3, ci, co)
+    if have_affine:
+        dx, dinv, dshift = data_out
+        return dx, dw, dinv[0], dshift[0]
+    return data_out[0], dw, None, None
+
+
+def _temporal_bwd(x, w, inv, shift, y, gy, gs1, gs2, *, rows=0, interpret=False):
+    b, t, h, wd, ci = x.shape
+    co = w.shape[-1]
+    have_affine = inv is not None
+    if not rows:
+        per_row = t * wd * ((ci + co) * 2 * 3 + max(ci, co) * 4 * 2)
+        rows = max(1, min(h, (5 << 20) // per_row))
+    while h % rows:
+        rows -= 1
+    hs = h // rows
+    p = rows * wd
+    # reversed taps, rows tap-major: [w2ᵀ; w1ᵀ; w0ᵀ] — pairs with the
+    # standard im2col of ge (tap k holds ge[t+k-1]), see bwd-data kernel
+    wt = jnp.flip(w, axis=0).transpose(0, 2, 1).reshape(3 * co, ci)
+
+    strip_in = pl.BlockSpec((1, t, rows, wd, ci),
+                            lambda i: (i // hs, 0, i % hs, 0, 0),
+                            memory_space=pltpu.VMEM)
+    strip_out = pl.BlockSpec((1, t, rows, wd, co),
+                             lambda i: (i // hs, 0, i % hs, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_co = pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec_ci = pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((3 * co, ci), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_temporal_bwd_data_kernel, have_affine, t, p, ci, co)
+    if have_affine:
+        in_specs = [strip_out, strip_out, strip_in, wspec, vec_co, vec_co,
+                    vec_ci, vec_ci]
+        args = [gy, y, x, wt, gs1.reshape(1, co), gs2.reshape(1, co),
+                inv.reshape(1, ci), shift.reshape(1, ci)]
+        out_specs = (strip_in, vec_ci, vec_ci)
+        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),
+                     jax.ShapeDtypeStruct((1, ci), jnp.float32),
+                     jax.ShapeDtypeStruct((1, ci), jnp.float32))
+    else:
+        in_specs = [strip_out, strip_out, wspec, vec_co, vec_co]
+        args = [gy, y, wt, gs1.reshape(1, co), gs2.reshape(1, co)]
+        out_specs = (strip_in,)
+        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),)
+    data_out = pl.pallas_call(
+        kern, grid=(b * hs,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((t * p, 3 * co), gy.dtype)],  # ge im2col
+        interpret=interpret,
+    )(*args)
+
+    kern = functools.partial(_temporal_bwd_filter_kernel, have_affine, t, p, ci, co)
+    in_specs = [strip_in, strip_out, strip_out, vec_co, vec_co]
+    args = [x, gy, y, gs1.reshape(1, co), gs2.reshape(1, co)]
+    if have_affine:
+        in_specs += [vec_ci, vec_ci]
+        args += [inv.reshape(1, ci), shift.reshape(1, ci)]
+    dw = pl.pallas_call(
+        kern, grid=(b * hs,), in_specs=in_specs,
+        out_specs=pl.BlockSpec((3 * ci, co), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * ci, co), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((t * p, 3 * ci), x.dtype)],   # x̂ im2col
+        interpret=interpret,
+    )(*args)
+    dw = dw.reshape(3, ci, co)
+    if have_affine:
+        dx, dinv, dshift = data_out
+        return dx, dw, dinv[0], dshift[0]
+    return data_out[0], dw, None, None
+
+
+# ---------------------------------------------------------------------------
+# XLA backward (hybrid mode)
+# ---------------------------------------------------------------------------
+#
+# Measured on v5e (round 2): the Pallas FORWARD units beat the XLA
+# composition, but XLA's native backward convolutions (which fuse their
+# neighbouring reductions) beat the Pallas backward kernels.  The default is
+# therefore hybrid: Pallas forward + XLA backward.  ``backward_impl`` flips
+# to the all-Pallas backward for experiments.
+
+backward_impl = "xla"   # "xla" (hybrid, default) | "pallas"
+
+
+def _conv_raw(x, w, kind):
+    if kind == "spatial":
+        kernel, pad = w[None], ((0, 0), (1, 1), (1, 1))
+    else:
+        kernel, pad = w[:, None, None], ((1, 1), (0, 0), (0, 0))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(x, kernel, (1, 1, 1), pad,
+                                        dimension_numbers=dn)
+
+
+def _xla_bwd(kind, x, wc, inv, shift, y, gy, gs1, gs2):
+    """Backward of the fused unit as plain XLA ops (the unused forward conv
+    inside jax.vjp is dead-code-eliminated under jit)."""
+    dtype = x.dtype
+    ge = gy + (gs1.astype(jnp.float32)
+               + 2.0 * y.astype(jnp.float32) * gs2.astype(jnp.float32)
+               ).astype(dtype)
+    if inv is not None:
+        xa = x * inv.astype(dtype) + shift.astype(dtype)
+        xhat = jnp.maximum(xa, 0)
+    else:
+        xhat = x
+    _, vjp_fn = jax.vjp(lambda xx, ww: _conv_raw(xx, ww, kind), xhat, wc)
+    dxhat, dwc = vjp_fn(ge)
+    dw = dwc.astype(jnp.float32)
+    if inv is None:
+        return dxhat, dw, None, None
+    mask = xa > 0
+    dxa = jnp.where(mask, dxhat, jnp.zeros_like(dxhat))
+    dx = dxa * inv.astype(dtype)
+    axes = tuple(range(x.ndim - 1))
+    dinv = jnp.sum(x.astype(jnp.float32) * dxa.astype(jnp.float32), axis=axes)
+    dshift = jnp.sum(dxa.astype(jnp.float32), axis=axes)
+    return dx, dw, dinv, dshift
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+#
+# conv_unit(x, w, inv, shift, kind=...):
+#   x     bf16/compute-dtype activations [B, T, H, W, C_in]
+#   w     FP32 weights ([3,3,Ci,Co] spatial / [3,Ci,Co] temporal) — cast to
+#         the compute dtype inside, so dW comes back fp32 (exact accumulator)
+#   inv, shift  fp32 per-channel BN affine of the PREVIOUS BatchNorm
+#               (None, None for an identity prologue at block boundaries)
+# Returns (y, s1, s2): conv output and fp32 channel sum / sum-of-squares
+# for the NEXT BatchNorm.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _conv_unit_affine(kind, x, w, inv, shift):
+    y, s1, s2 = conv_unit_fwd(x, w.astype(x.dtype), inv, shift, kind=kind)
+    return y, s1, s2
+
+
+def _conv_unit_affine_fwd(kind, x, w, inv, shift):
+    wc = w.astype(x.dtype)
+    y, s1, s2 = conv_unit_fwd(x, wc, inv, shift, kind=kind)
+    return (y, s1, s2), (x, wc, inv, shift, y)
+
+
+def _conv_unit_affine_bwd(kind, res, cts):
+    x, wc, inv, shift, y = res
+    gy, gs1, gs2 = cts
+    if backward_impl == "xla":
+        return _xla_bwd(kind, x, wc, inv, shift, y, gy, gs1, gs2)
+    bwd = _spatial_bwd if kind == "spatial" else _temporal_bwd
+    dx, dw, dinv, dshift = bwd(x, wc, inv, shift, y, gy, gs1, gs2)
+    return dx, dw, dinv, dshift
+
+
+_conv_unit_affine.defvjp(_conv_unit_affine_fwd, _conv_unit_affine_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _conv_unit_plain(kind, x, w):
+    y, s1, s2 = conv_unit_fwd(x, w.astype(x.dtype), None, None, kind=kind)
+    return y, s1, s2
+
+
+def _conv_unit_plain_fwd(kind, x, w):
+    wc = w.astype(x.dtype)
+    y, s1, s2 = conv_unit_fwd(x, wc, None, None, kind=kind)
+    return (y, s1, s2), (x, wc, y)
+
+
+def _conv_unit_plain_bwd(kind, res, cts):
+    x, wc, y = res
+    gy, gs1, gs2 = cts
+    if backward_impl == "xla":
+        dx, dw, _, _ = _xla_bwd(kind, x, wc, None, None, y, gy, gs1, gs2)
+        return dx, dw
+    bwd = _spatial_bwd if kind == "spatial" else _temporal_bwd
+    dx, dw, _, _ = bwd(x, wc, None, None, y, gy, gs1, gs2)
+    return dx, dw
+
+
+_conv_unit_plain.defvjp(_conv_unit_plain_fwd, _conv_unit_plain_bwd)
+
+
+def conv_unit(x, w, inv=None, shift=None, *, kind: str):
+    """Differentiable fused (affine+relu →) conv → stats unit (see module doc)."""
+    if inv is None:
+        return _conv_unit_plain(kind, x, w)
+    return _conv_unit_affine(kind, x, w, inv, shift)
+
+
+# ---------------------------------------------------------------------------
+# Public functional op (XLA reference semantics; VJP added in a later step)
+# ---------------------------------------------------------------------------
+
+def conv_unit_fwd(x: jnp.ndarray, w: jnp.ndarray,
+                  inv: Optional[jnp.ndarray] = None,
+                  shift: Optional[jnp.ndarray] = None,
+                  *, kind: str, interpret: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused (affine+relu →) conv → channel-stats forward.
+
+    kind="spatial":  x [N, H, W, C_in],    w [3, 3, C_in, C_out]
+    kind="temporal": x [B, T, P, C_in],    w [3, C_in, C_out]
+    Returns (y, s1, s2) with s1 = Σ_chan y (fp32), s2 = Σ_chan y².
+    """
+    if kind == "spatial":
+        return _spatial_fwd(x, w, inv, shift, interpret=interpret)
+    if kind == "temporal":
+        return _temporal_fwd(x, w, inv, shift, interpret=interpret)
+    raise ValueError(kind)
+
+
+def conv_unit_reference(x, w, inv=None, shift=None, *, kind: str):
+    """Plain-XLA reference composition (used by tests and as fallback).
+
+    Same shapes as conv_unit_fwd: x [B, T, H, W, C_in];
+    w [3, 3, C_in, C_out] (spatial) or [3, C_in, C_out] (temporal).
+    """
+    dtype = x.dtype
+    w = w.astype(dtype)
+    if inv is not None:
+        x = jnp.maximum(x * inv.astype(dtype) + shift.astype(dtype), 0)
+    if kind == "spatial":
+        kernel = w[None]                                     # [1,3,3,ci,co]
+        pad = ((0, 0), (1, 1), (1, 1))
+    else:
+        kernel = w[:, None, None]                            # [3,1,1,ci,co]
+        pad = ((1, 1), (0, 0), (0, 0))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    y = jax.lax.conv_general_dilated(x, kernel, (1, 1, 1), pad,
+                                     dimension_numbers=dn)
+    y = y.astype(dtype)
+    yf = y.astype(jnp.float32)
+    axes = tuple(range(y.ndim - 1))
+    return y, jnp.sum(yf, axis=axes), jnp.sum(yf * yf, axis=axes)
