@@ -155,7 +155,9 @@ class OptimConfig:
     weight_decay: float = 0.0
     grad_clip_norm: float = 5.0
     warmup_steps: int = 0
-    schedule: str = "constant"
+    schedule: str = "constant"    # "constant" | "cosine" | "step"
+    step_decay_factor: float = 0.1   # "step": lr ×= factor at each boundary
+    step_decay_every: int = 0        # "step": boundary spacing (0 → num_steps/3)
     accumulate_steps: int = 1     # optax.MultiSteps (SURVEY §2.3)
 
 

@@ -165,16 +165,57 @@ class Checkpointer:
     # -- save / restore ----------------------------------------------------
 
     def save(self, state) -> str:
+        self.wait()
         step = int(state.step)
+        path = self._path(step)
+        save_pytree(jax.device_get(state), path, self._meta(step))
+        self._prune()
+        return path
+
+    def save_async(self, state) -> str:
+        """Atomic ASYNC checkpoint (SURVEY §5 "orbax-style async").
+
+        The device→host fetch happens NOW (the state is donated into the next
+        train step, so buffers must be copied out synchronously); the npz
+        serialization + atomic rename + keep-K prune run on a background
+        thread so the train loop never blocks on disk. A still-running
+        previous write is joined first (single-writer backpressure).
+        """
+        import threading
+        self.wait()
+        step = int(state.step)
+        path = self._path(step)
+        host_state = jax.device_get(state)
+        meta = self._meta(step)
+
+        def _write():
+            save_pytree(host_state, path, meta)
+            self._prune()
+
+        self._writer = threading.Thread(target=_write, daemon=True)
+        self._writer.start()
+        return path
+
+    def wait(self):
+        """Block until any in-flight async write has finished."""
+        w = getattr(self, "_writer", None)
+        if w is not None and w.is_alive():
+            w.join()
+        self._writer = None
+
+    def _meta(self, step: int) -> dict:
         meta = {"step": step}
         if self.cfg is not None:
             meta["config_hash"] = self.cfg.config_hash()
             meta["config"] = self.cfg.to_dict()
-        path = self._path(step)
-        save_pytree(jax.device_get(state), path, meta)
+        return meta
+
+    def _prune(self):
         for s in self.all_steps()[:-self.keep]:
-            os.unlink(self._path(s))
-        return path
+            try:
+                os.unlink(self._path(s))
+            except FileNotFoundError:
+                pass
 
     def maybe_restore(self, state, trainer=None):
         """Resume from the latest valid checkpoint, else return state as-is.

@@ -79,6 +79,14 @@ def make_optimizer(cfg: OptimConfig,
         lr = optax.warmup_cosine_decay_schedule(
             0.0, cfg.learning_rate, max(cfg.warmup_steps, 1),
             max(num_steps, cfg.warmup_steps + 1))
+    elif cfg.schedule == "step":
+        # torch MultiStepLR-style staircase (the reference repo family's
+        # usual schedule): lr ×= factor every `step_decay_every` steps
+        every = cfg.step_decay_every or max(num_steps // 3, 1)
+        lr = optax.piecewise_constant_schedule(
+            cfg.learning_rate,
+            {b: cfg.step_decay_factor
+             for b in range(every, num_steps, every)})
     elif cfg.warmup_steps:
         lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
     else:
@@ -371,7 +379,9 @@ class Trainer:
                         f"@step {best.best_step})")
                     break
             if checkpointer is not None and (i + 1) % tcfg.checkpoint_every == 0:
-                checkpointer.save(state)
+                # async: device→host fetch now (state is donated next step),
+                # serialization + rename on a background thread
+                checkpointer.save_async(state)
         if profiling:
             jax.profiler.stop_trace()
         return state, history

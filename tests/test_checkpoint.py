@@ -59,6 +59,21 @@ def test_checkpointer_keep_and_recover(tmp_path):
     np.testing.assert_array_equal(restored.w, np.full(3, 2.0))
 
 
+def test_async_save_roundtrip_and_prune(tmp_path):
+    """save_async writes the same checkpoint as save, waits compose, and
+    keep-K pruning still applies (SURVEY §5 async checkpointing)."""
+    ck = Checkpointer(str(tmp_path), keep=2)
+    for i in (1, 2, 3):
+        ck.save_async(S(step=np.int32(i), w=np.full(3, float(i))))
+    ck.wait()
+    assert ck.all_steps() == [2, 3]
+    restored = ck.maybe_restore(S(step=np.int32(0), w=np.zeros(3)))
+    np.testing.assert_array_equal(restored.w, np.full(3, 3.0))
+    # a sync save after async writes joins them first and stays consistent
+    ck.save(S(step=np.int32(4), w=np.full(3, 4.0)))
+    assert ck.all_steps() == [3, 4]
+
+
 def test_config_hash_mismatch_aborts(tmp_path):
     """A config change must abort resume loudly, never silently fall back to
     an older checkpoint (VERDICT r1 weak #3)."""

@@ -73,3 +73,21 @@ def test_metric_writer_grows_csv_header(tmp_path):
         w.write(3, {"loss": 0.25})
     lines = (tmp_path / "t2.csv").read_text().strip().split("\n")
     assert len(lines) == 4
+
+
+def test_step_schedule_decays():
+    """optim.schedule="step": torch MultiStepLR-style staircase."""
+    import numpy as np
+    from m3f.pytorch_tpu.config import OptimConfig
+    from m3f.pytorch_tpu.train.loop import make_optimizer
+    import optax
+
+    cfg = OptimConfig(learning_rate=1e-2, schedule="step",
+                      step_decay_factor=0.1, step_decay_every=10)
+    tx = make_optimizer(cfg, num_steps=30)  # builds without error
+    # the schedule itself: lr halves of decades at 10, 20
+    lr = optax.piecewise_constant_schedule(
+        1e-2, {10: 0.1, 20: 0.1})
+    assert np.isclose(float(lr(0)), 1e-2)
+    assert np.isclose(float(lr(15)), 1e-3)
+    assert np.isclose(float(lr(25)), 1e-4)
