@@ -139,11 +139,20 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
     ids = ds.video_ids()
     if args.max_videos:
         ids = ids[: args.max_videos]
+    # pipelined: decode/H2D of the next video overlaps the current compute
+    pending: List = []
+    def _drain():
+        vid, valid, fut = pending.pop(0)
+        preds[vid] = trainer._collect_eval(fut)["pred"]
+        valids[vid] = valid
     for vid in ids:
         video = ds.load_video(vid)
-        r = trainer.evaluate_video(state, video)
-        preds[vid] = r["pred"]
-        valids[vid] = video["valid"]
+        pending.append((vid, video["valid"],
+                        trainer._dispatch_eval(state, video)))
+        if len(pending) >= 2:
+            _drain()
+    while pending:
+        _drain()
     write_submission(args.out, preds, valids, smooth_window=args.smooth)
     print(f"wrote {len(preds)} submission files to {args.out}")
     return 0

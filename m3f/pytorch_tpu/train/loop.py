@@ -20,7 +20,8 @@ from __future__ import annotations
 import math
 import time
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
+from typing import (Any, Callable, Dict, Iterator, List, NamedTuple, Optional,
+                    Tuple)
 
 import numpy as np
 import jax
@@ -247,6 +248,17 @@ class Trainer:
         Uses the cached whole-video jit (single device) or the mesh-sharded
         forward (multi device); both are built lazily and reused.
         """
+        return self._collect_eval(self._dispatch_eval(state, video))
+
+    def _dispatch_eval(self, state: TrainState,
+                       video: Dict[str, np.ndarray]):
+        """Enqueue the whole-video eval WITHOUT syncing.
+
+        Returns (n_frames, device futures). jax dispatch is async, so a
+        caller can keep several videos in flight — the next video's H2D
+        transfer (the bottleneck on a remote-tunnel host) overlaps the
+        current video's compute. ``_collect_eval`` fetches the results.
+        """
         wcfg = self.cfg.window
         mcfg = self.cfg.model
         n = len(video["labels"])
@@ -296,17 +308,37 @@ class Trainer:
             jnp.asarray(sample_starts),
             jnp.asarray(win_valid),
             jnp.asarray(labels_pad), jnp.asarray(valid_pad), **kw)
+        return n, stitched_d, per_dim_d
+
+    @staticmethod
+    def _collect_eval(pending) -> Dict[str, Any]:
+        n, stitched_d, per_dim_d = pending
         per_dim = np.asarray(per_dim_d)
         return {"pred": np.asarray(stitched_d)[:n],
                 "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1])}
 
-    def evaluate(self, state: TrainState, dataset, max_videos: int = 0) -> Dict[str, float]:
+    def evaluate(self, state: TrainState, dataset, max_videos: int = 0,
+                 pipeline: int = 2) -> Dict[str, float]:
+        """Mean per-video CCC over a dataset split.
+
+        Keeps ``pipeline`` videos in flight: while the device evaluates
+        video i, the host decodes video i+1 and its H2D transfer streams —
+        on the remote-tunnel host (H2D ≈ 41 MB/s) this roughly doubles eval
+        throughput vs the serial loop.
+        """
         ids = dataset.video_ids()
         if max_videos:
             ids = ids[:max_videos]
         vs, as_ = [], []
+        inflight: List[Any] = []
         for vid in ids:
-            r = self.evaluate_video(state, dataset.load_video(vid))
+            inflight.append(self._dispatch_eval(state, dataset.load_video(vid)))
+            if len(inflight) >= max(pipeline, 1):
+                r = self._collect_eval(inflight.pop(0))
+                vs.append(r["ccc_v"])
+                as_.append(r["ccc_a"])
+        for p in inflight:
+            r = self._collect_eval(p)
             vs.append(r["ccc_v"])
             as_.append(r["ccc_a"])
         return {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),

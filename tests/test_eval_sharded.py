@@ -38,3 +38,18 @@ def test_sharded_eval_matches_single_device():
                                atol=1e-3)
     assert abs(results[8]["ccc_v"] - results[1]["ccc_v"]) < 1e-3
     assert abs(results[8]["ccc_a"] - results[1]["ccc_a"]) < 1e-3
+
+
+def test_pipelined_evaluate_matches_serial():
+    """evaluate(pipeline=3) must produce exactly the serial (pipeline=1)
+    metrics — pipelining only overlaps transfers, never reorders math."""
+    cfg = cfg_with_mesh(1)
+    cfg = cfg.replace(data=cfg.data.__class__(
+        synthetic_num_videos=5, synthetic_video_frames=64, image_size=16))
+    from m3f.pytorch_tpu.data.synthetic import SyntheticAVDataset
+    tr = Trainer(cfg)
+    state = tr.init_state(seed=0)
+    ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+    serial = tr.evaluate(state, ds, pipeline=1)
+    piped = tr.evaluate(state, ds, pipeline=3)
+    assert serial == piped
