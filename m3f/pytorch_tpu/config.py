@@ -146,6 +146,13 @@ class DataConfig:
     num_workers: int = 4
     prefetch: int = 2
     shuffle_buffer: int = 256   # cross-video example mixing (0 = off)
+    # On-device train-time augmentation (ops/augment.py) — runs inside the
+    # jitted step on the uint8 batch (zero extra host work / H2D bytes).
+    # UNVERIFIED vs reference; standard for the task, off by default.
+    augment: bool = False
+    aug_flip_prob: float = 0.5
+    aug_brightness: float = 0.1
+    aug_contrast: float = 0.1
 
 
 @dataclass(frozen=True)

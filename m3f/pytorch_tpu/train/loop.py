@@ -148,7 +148,21 @@ class Trainer:
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
 
+        dcfg = self.cfg.data
+
         def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+            if dcfg.augment and "video" in batch:
+                # on-device augmentation, deterministic in (seed, step)
+                from m3f.pytorch_tpu.ops.augment import augment_clips
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(self.cfg.train.seed), state.step)
+                batch = dict(batch)
+                batch["video"] = augment_clips(
+                    key, batch["video"],
+                    flip_prob=dcfg.aug_flip_prob,
+                    brightness=dcfg.aug_brightness,
+                    contrast=dcfg.aug_contrast,
+                    compute_dtype=jnp.dtype(self.cfg.model.compute_dtype))
             (loss, (new_bn, preds)), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True)(state.params, state.bn_state,
                                              batch, True)
