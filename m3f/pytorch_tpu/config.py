@@ -228,9 +228,17 @@ def _replace_nested(cfg: Any, dotted: str, value: Any) -> Any:
     head, _, rest = dotted.partition(".")
     if not rest:
         f = {f.name: f for f in dataclasses.fields(cfg)}[head]
-        if value is not None and f.type not in (Any,) and not isinstance(value, (dict, list, tuple)):
+        current = getattr(cfg, head)
+        if isinstance(current, tuple) and value is not None and not isinstance(value, dict):
+            # tuple fields (e.g. visual.blocks_per_stage=[3,4,6,3] for the
+            # R(2+1)D-34 recipe): accept JSON lists and "3,4,6,3" strings,
+            # coercing elements to the existing element type
+            if isinstance(value, str):
+                value = [p for p in value.split(",") if p != ""]
+            elem = type(current[0]) if current else None
+            value = tuple(elem(v) if elem is not None else v for v in value)
+        elif value is not None and f.type not in (Any,) and not isinstance(value, (dict, list, tuple)):
             # best-effort scalar coercion from CLI strings
-            current = getattr(cfg, head)
             if isinstance(current, bool):
                 value = value if isinstance(value, bool) else str(value).lower() in ("1", "true", "yes")
             elif isinstance(current, int) and not isinstance(value, bool):

@@ -226,13 +226,14 @@ class Checkpointer:
         """
         for step in reversed(self.all_steps()):
             p = self._path(step)
-            meta = None
             try:
                 meta = load_meta(p)
-                restored = load_pytree(jax.device_get(state), p)
             except Exception as e:  # corrupt/partial file → try older
                 print(f"checkpoint {p} unusable ({e}); trying older")
                 continue
+            # hash check BEFORE the tree load: a different config usually
+            # also changes the pytree layout, and the layout error must not
+            # be mistaken for corruption (which silently tries older files)
             if (self.cfg is not None and meta.get("config_hash") not in
                     (None, self.cfg.config_hash())):
                 raise RuntimeError(
@@ -240,6 +241,11 @@ class Checkpointer:
                     f"(hash {meta.get('config_hash')} != {self.cfg.config_hash()}). "
                     "Refusing to resume silently — point checkpoint_dir at a "
                     "fresh directory or restore the original config.")
+            try:
+                restored = load_pytree(jax.device_get(state), p)
+            except Exception as e:  # corrupt/partial file → try older
+                print(f"checkpoint {p} unusable ({e}); trying older")
+                continue
             if trainer is not None:
                 from m3f.pytorch_tpu.parallel.mesh import replicated
                 restored = jax.device_put(restored, replicated(trainer.mesh))

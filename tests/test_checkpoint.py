@@ -91,3 +91,8 @@ def test_config_hash_mismatch_aborts(tmp_path):
     # same config still restores fine
     restored = ck_a.maybe_restore(S(step=np.int32(0), w=np.zeros(3)))
     np.testing.assert_array_equal(restored.w, np.ones(3))
+    # the usual real-world shape: the config change ALSO changed the pytree
+    # layout — the hash abort must fire before the layout error is mistaken
+    # for corruption (which silently falls back)
+    with pytest.raises(RuntimeError, match="different config"):
+        ck_b.maybe_restore(S(step=np.int32(0), w=np.zeros(5)))

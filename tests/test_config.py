@@ -91,3 +91,17 @@ def test_step_schedule_decays():
     assert np.isclose(float(lr(0)), 1e-2)
     assert np.isclose(float(lr(15)), 1e-3)
     assert np.isclose(float(lr(25)), 1e-4)
+
+
+def test_tuple_field_overrides():
+    """Tuple fields accept JSON lists and comma strings (e.g. the R(2+1)D-34
+    recipe via model.visual.blocks_per_stage=[3,4,6,3])."""
+    from m3f.pytorch_tpu.config import fusion, apply_overrides
+
+    cfg = apply_overrides(fusion(), {"model.visual.blocks_per_stage": [3, 4, 6, 3]})
+    assert cfg.model.visual.blocks_per_stage == (3, 4, 6, 3)
+    assert isinstance(cfg.model.visual.blocks_per_stage, tuple)
+    cfg = apply_overrides(fusion(), {"model.audio.channels": "16,32"})
+    assert cfg.model.audio.channels == (16, 32)
+    # hashing still works with overridden tuples
+    assert cfg.config_hash()

@@ -170,3 +170,24 @@ def test_m3f_audio_only_parity_per_frame():
                                 train=False)
     assert got.shape == want.shape == (2, 3, 16, 2)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_r2plus1d_34_parity_eval():
+    """Depth-34 recipe (blocks 3-4-6-3): the converter must index torchvision
+    ``layer{s}.{b}`` names correctly across UNEVEN stage lengths (SURVEY §3.4
+    leaves 18-vs-34 unverified; both are supported via blocks_per_stage)."""
+    torch.manual_seed(7)
+    blocks = (3, 4, 6, 3)
+    tg = R2Plus1DGolden(blocks=blocks).eval()
+    sd = state_dict_numpy(tg)
+    x = np.random.RandomState(7).randn(1, 3, 4, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.from_numpy(x)).numpy()
+
+    params, state = convert_r2plus1d(sd, blocks_per_stage=blocks)
+    cfg = VisualNetConfig(blocks_per_stage=blocks)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    with highest():
+        got, _ = R2Plus1D(cfg).apply(params, state, xj, train=False)
+    assert len(params["blocks"]) == sum(blocks)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
