@@ -9,9 +9,13 @@ hand-written communication backend to maintain.
 Axes:
 - ``data``  — batch dim of every array in the batch dict; gradients reduce
   over it automatically.
-- ``model`` — stub axis (size 1 by default). The model is ~35M params so TP
-  is unnecessary (SURVEY §2.3), but the axis exists so the GRU/FC matmuls
-  could be sharded by passing ``num_model > 1`` — documented, not enabled.
+- ``model`` — tensor parallelism for the temporal-fusion head (size 1 by
+  default). The model is ~35M params so TP is unnecessary for capacity
+  (SURVEY §2.3), but with ``num_model > 1`` the BiGRU gate matmuls run
+  column-parallel and the FC head row-parallel (``state_shardings`` below);
+  GSPMD inserts the all-gathers/psums. The conv backbones stay replicated —
+  at 16×112×112 their activations dominate and batch sharding is the right
+  split for them.
 
 Multi-host: call ``maybe_initialize_distributed()`` first (no-op single-host);
 the mesh then spans all slices and the same code runs unchanged — DCN
@@ -56,6 +60,54 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis over 'data', everything else replicated."""
     return NamedSharding(mesh, P("data"))
+
+
+# Tensor-parallel rules, matched on the PATH TAIL of a leaf so the same rule
+# tree covers params AND optimizer moments (adam's mu/nu mirror the params'
+# structure, including the matched key names).
+_TP_GRU_MATS = ("w_ih", "w_hh")   # [D, 3H] → column-parallel
+_TP_GRU_VECS = ("b_ih", "b_hh")   # [3H]    → sharded like the matmul output
+
+
+def _tp_spec(path, leaf, n_model: int) -> P:
+    """PartitionSpec for one state leaf under the 'model' axis (TP)."""
+    if n_model <= 1:
+        return P()
+    keys = []
+    for entry in path:
+        k = getattr(entry, "key", getattr(entry, "name", getattr(entry, "idx", None)))
+        keys.append(str(k))
+    shape = getattr(leaf, "shape", ())
+    last = keys[-1] if keys else ""
+    if "gru" in keys and last in _TP_GRU_MATS and len(shape) == 2 \
+            and shape[1] % n_model == 0:
+        return P(None, "model")
+    if "gru" in keys and last in _TP_GRU_VECS and len(shape) == 1 \
+            and shape[0] % n_model == 0:
+        return P("model")
+    if len(keys) >= 2 and keys[-2] == "head" and last == "kernel" \
+            and "audio" not in keys and "visual" not in keys \
+            and len(shape) == 2 and shape[0] % n_model == 0:
+        # the FUSION head only (branch-internal projections also carry a
+        # 'head' key; their matmuls are too small to be worth collectives):
+        # row-parallel over the BiGRU output dim, GSPMD psums the output
+        return P("model", None)
+    return P()
+
+
+def state_shardings(mesh: Mesh, tree) -> Dict:
+    """NamedSharding tree implementing the TP layout for any state-like tree.
+
+    With ``num_model == 1`` every leaf is replicated (today's DP behavior).
+    With ``num_model > 1`` the BiGRU gate weights go column-parallel, their
+    biases follow the gate axis, and the FC head kernel goes row-parallel;
+    everything else (conv backbones, BN, step counters) stays replicated.
+    Works on params, full TrainStates, and optimizer states alike because the
+    rules match on path tails.
+    """
+    n_model = mesh.shape.get("model", 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, _tp_spec(p, x, n_model)), tree)
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:

@@ -247,8 +247,9 @@ class Checkpointer:
                 print(f"checkpoint {p} unusable ({e}); trying older")
                 continue
             if trainer is not None:
-                from m3f.pytorch_tpu.parallel.mesh import replicated
-                restored = jax.device_put(restored, replicated(trainer.mesh))
+                from m3f.pytorch_tpu.parallel.mesh import state_shardings
+                restored = jax.device_put(
+                    restored, state_shardings(trainer.mesh, restored))
             return restored
         return state
 

@@ -36,7 +36,8 @@ from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss
 from m3f.pytorch_tpu.ops.stitch import (coverage_matrix, stitch_framewise,
                                         window_starts)
 from m3f.pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
-                                           replicated, shard_batch)
+                                           replicated, shard_batch,
+                                           state_shardings)
 
 
 class TrainState(NamedTuple):
@@ -131,8 +132,9 @@ class Trainer:
                 params, bn_state, self.cfg.model.init_from)
         opt_state = self.tx.init(params)
         state = TrainState(params, bn_state, opt_state, jnp.zeros((), jnp.int32))
-        rep = replicated(self.mesh)
-        return jax.device_put(state, rep)
+        # replicated everywhere with num_model == 1; TP layout (GRU
+        # column-parallel, head row-parallel) when the mesh has a model axis
+        return jax.device_put(state, state_shardings(self.mesh, state))
 
     # -- steps ------------------------------------------------------------
 
@@ -147,6 +149,7 @@ class Trainer:
     def make_train_step(self) -> Callable:
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
+        tp = self.mesh.shape.get("model", 1) > 1
 
         dcfg = self.cfg.data
 
@@ -174,8 +177,18 @@ class Trainer:
                 "grad_norm": gnorm,
                 "batch_ccc": 1.0 - loss,
             }
-            return TrainState(new_params, new_bn, new_opt, state.step + 1), metrics
+            new_state = TrainState(new_params, new_bn, new_opt, state.step + 1)
+            if tp:
+                # pin the TP layout on the outputs so the state's sharding is
+                # stationary across steps (donation requires in == out)
+                new_state = jax.lax.with_sharding_constraint(
+                    new_state, state_shardings(self.mesh, new_state))
+            return new_state, metrics
 
+        if tp:
+            # state arrives with the TP layout from init_state/restore; jit
+            # inherits argument shardings, GSPMD inserts the collectives
+            return jax.jit(step, donate_argnums=0)
         return jax.jit(step, donate_argnums=0,
                        in_shardings=(rep, bsh),
                        out_shardings=(rep, rep))
