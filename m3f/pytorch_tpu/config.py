@@ -195,6 +195,8 @@ class TrainConfig:
     min_delta: float = 0.0        # improvement threshold for best/early-stop
     profile_dir: str = ""         # non-empty → jax.profiler trace around steps
     debug_nans: bool = False      # jax_debug_nans during development (SURVEY §5)
+    loss: str = "ccc"             # "ccc" | "mse" | "ccc+mse" (SURVEY §2.1 C7)
+    mse_weight: float = 1.0       # weight of the MSE term in "ccc+mse"
     optim: OptimConfig = field(default_factory=OptimConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 

@@ -92,3 +92,31 @@ def ccc_loss(pred: jnp.ndarray, target: jnp.ndarray,
         mask = mask[..., None]
     per_output = ccc(pred, target, mask=mask, axis=sample_axes, eps=eps)
     return 1.0 - jnp.mean(per_output)
+
+
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Masked mean-squared error over valid frames (fp32 accumulation).
+
+    The reference repo family exposes MSE alongside CCC as the regression
+    loss (SURVEY §2.1 C7 family convention); selected via
+    ``train.loss="mse"`` or mixed in with ``train.loss="ccc+mse"``.
+    """
+    if mask is not None and mask.ndim == pred.ndim - 1:
+        mask = mask[..., None]
+    err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    return masked_mean(err, mask, axis=None)
+
+
+def make_loss(kind: str, mse_weight: float = 1.0):
+    """Loss factory for TrainConfig.loss: "ccc" | "mse" | "ccc+mse"."""
+    if kind == "ccc":
+        return ccc_loss
+    if kind == "mse":
+        return mse_loss
+    if kind == "ccc+mse":
+        def combined(pred, target, mask=None):
+            return (ccc_loss(pred, target, mask)
+                    + mse_weight * mse_loss(pred, target, mask))
+        return combined
+    raise ValueError(f"unknown loss '{kind}' (ccc | mse | ccc+mse)")

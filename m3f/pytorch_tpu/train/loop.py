@@ -32,7 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from m3f.pytorch_tpu.config import ExperimentConfig, OptimConfig
 from m3f.pytorch_tpu.data.windowing import samples_per_window
 from m3f.pytorch_tpu.models.m3f import M3F
-from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss
+from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss, make_loss
 from m3f.pytorch_tpu.ops.stitch import (coverage_matrix, stitch_framewise,
                                         window_starts)
 from m3f.pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
@@ -143,7 +143,8 @@ class Trainer:
             params, bn_state,
             video=batch.get("video"), wav=batch.get("wav"),
             mel=batch.get("mel"), train=train)
-        loss = ccc_loss(preds, batch["labels"], batch["mask"])
+        loss_fn = make_loss(self.cfg.train.loss, self.cfg.train.mse_weight)
+        loss = loss_fn(preds, batch["labels"], batch["mask"])
         return loss, (new_bn, preds)
 
     def make_train_step(self) -> Callable:
@@ -175,7 +176,9 @@ class Trainer:
             metrics = {
                 "loss": loss,
                 "grad_norm": gnorm,
-                "batch_ccc": 1.0 - loss,
+                # reported as CCC regardless of the training loss choice
+                "batch_ccc": 1.0 - ccc_loss(preds, batch["labels"],
+                                            batch["mask"]),
             }
             new_state = TrainState(new_params, new_bn, new_opt, state.step + 1)
             if tp:

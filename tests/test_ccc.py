@@ -102,3 +102,37 @@ def test_bf16_inputs_accumulate_fp32():
     v32 = float(ccc(jnp.asarray(x), jnp.asarray(y)))
     vbf = float(ccc(jnp.asarray(x, jnp.bfloat16), jnp.asarray(y, jnp.bfloat16)))
     assert vbf == pytest.approx(v32, abs=2e-2)  # bf16 quantization only, no blowup
+
+
+def test_mse_loss_masked_numpy_oracle():
+    from m3f.pytorch_tpu.ops.ccc import mse_loss
+
+    rng = np.random.RandomState(11)
+    pred = rng.randn(3, 5, 2).astype(np.float32)
+    target = rng.randn(3, 5, 2).astype(np.float32)
+    mask = rng.rand(3, 5) > 0.3
+    want = np.mean(((pred - target) ** 2)[mask])
+    got = float(mse_loss(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # all-masked stays finite (zero by the masked_mean guard)
+    z = float(mse_loss(jnp.asarray(pred), jnp.asarray(target),
+                       jnp.zeros((3, 5), bool)))
+    assert np.isfinite(z)
+
+
+def test_make_loss_variants():
+    from m3f.pytorch_tpu.ops.ccc import ccc_loss, make_loss, mse_loss
+
+    rng = np.random.RandomState(12)
+    pred = jnp.asarray(rng.randn(4, 6, 2).astype(np.float32))
+    target = jnp.asarray(rng.randn(4, 6, 2).astype(np.float32))
+    mask = jnp.asarray(rng.rand(4, 6) > 0.2)
+    c = float(ccc_loss(pred, target, mask))
+    m = float(mse_loss(pred, target, mask))
+    assert np.isclose(float(make_loss("ccc")(pred, target, mask)), c)
+    assert np.isclose(float(make_loss("mse")(pred, target, mask)), m)
+    assert np.isclose(float(make_loss("ccc+mse", 0.5)(pred, target, mask)),
+                      c + 0.5 * m)
+    import pytest
+    with pytest.raises(ValueError):
+        make_loss("huber")
