@@ -72,6 +72,11 @@ class VisualNetConfig:
     # math and parameters, the BN reductions ride the conv kernels. "xla" is
     # the plain composition (strided blocks and the stem always use it).
     conv_backend: str = "xla"
+    # Squeeze-excitation side branch per block (SURVEY §3.4 "2D-SE side
+    # branch — must be re-verified"): 0 = off (torchvision recipe, the
+    # default), >0 = SE channel-reduction ratio (16 is the SE-Net default).
+    # SE blocks always use the XLA conv path.
+    se_ratio: int = 0
 
 
 @dataclass(frozen=True)

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from m3f.pytorch_tpu.config import VisualNetConfig
-from m3f.pytorch_tpu.nn import BatchNorm, Conv, Params, State, relu, global_avg_pool
+from m3f.pytorch_tpu.nn import (BatchNorm, Conv, Dense, Params, State, relu,
+                                global_avg_pool)
 
 
 def midplanes(in_c: int, out_c: int, t: int = 3, d: int = 3) -> int:
@@ -98,6 +99,11 @@ class BasicBlock:
     in_c: int
     out_c: int
     stride: Tuple[int, int, int] = (1, 1, 1)
+    # Squeeze-excitation side branch after bn2 (SURVEY §3.4 notes the
+    # reference MAY carry an SE variant — flag-gated so the default stays
+    # exactly the torchvision recipe and checkpoint-compatible). >0 = the
+    # channel reduction ratio (16 is the SE-Net default).
+    se_ratio: int = 0
 
     @property
     def has_downsample(self) -> bool:
@@ -113,8 +119,12 @@ class BasicBlock:
                     padding="VALID") if self.has_downsample else None
         return conv1, BatchNorm(self.out_c), conv2, BatchNorm(self.out_c), down
 
+    def _se(self):
+        r = max(self.out_c // self.se_ratio, 1)
+        return Dense(self.out_c, r), Dense(r, self.out_c)
+
     def init(self, key):
-        k1, k2, kd = jax.random.split(key, 3)
+        k1, k2, kd, ks1, ks2 = jax.random.split(key, 5)
         conv1, bn1, conv2, bn2, down = self._layers()
         p1, s1 = conv1.init(k1)
         p2, s2 = conv2.init(k2)
@@ -127,6 +137,9 @@ class BasicBlock:
             bpd, bsd = BatchNorm(self.out_c).init(None)
             params["bn_down"] = bpd
             state["bn_down"] = bsd
+        if self.se_ratio:
+            fc1, fc2 = self._se()
+            params["se"] = {"fc1": fc1.init(ks1), "fc2": fc2.init(ks2)}
         return params, state
 
     def apply(self, params, state, x, train):
@@ -137,6 +150,14 @@ class BasicBlock:
         y = relu(y)
         y, ns["conv2"] = conv2.apply(params["conv2"], state["conv2"], y, train)
         y, ns["bn2"] = bn2.apply(params["bn2"], state["bn2"], y, train)
+        if self.se_ratio:
+            # squeeze: GAP over (T, H, W) → [B, C]; excite: bottleneck MLP →
+            # per-channel sigmoid gate on the residual branch (fp32 gate math)
+            fc1, fc2 = self._se()
+            w = jnp.mean(y.astype(jnp.float32), axis=(1, 2, 3))
+            w = fc2.apply(params["se"]["fc2"],
+                          relu(fc1.apply(params["se"]["fc1"], w)))
+            y = y * jax.nn.sigmoid(w)[:, None, None, None, :].astype(y.dtype)
         if down is not None:
             sc = down.apply(params["down"], x)
             sc, ns["bn_down"] = BatchNorm(self.out_c).apply(
@@ -185,7 +206,8 @@ class R2Plus1D:
                                             self.cfg.blocks_per_stage)):
             for bi in range(n):
                 stride = (2, 2, 2) if (si > 0 and bi == 0) else (1, 1, 1)
-                blocks.append(BasicBlock(in_c, out_c, stride))
+                blocks.append(BasicBlock(in_c, out_c, stride,
+                                         se_ratio=self.cfg.se_ratio))
                 in_c = out_c
         return blocks
 
@@ -230,7 +252,8 @@ class R2Plus1D:
             # (Pallas fwd + XLA bwd) has no such limit
             max_c = 128 if conv_bn.backward_impl == "pallas" else 1 << 30
         for blk, bp, bs in zip(self._blocks(), params["blocks"], state["blocks"]):
-            if fused and not blk.has_downsample and blk.out_c <= max_c:
+            if fused and not blk.has_downsample and blk.out_c <= max_c \
+                    and not blk.se_ratio:
                 x, ns = blk.apply_fused(bp, bs, x, train)
             else:
                 x, ns = blk.apply(bp, bs, x, train)

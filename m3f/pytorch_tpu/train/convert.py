@@ -125,6 +125,10 @@ def convert_r2plus1d(sd: SD, prefix: str = "",
             if f"{base}.downsample.0.weight" in sd:
                 bp["down"] = convert_conv(sd, f"{base}.downsample.0")
                 bp["bn_down"], bs["bn_down"] = convert_bn(sd, f"{base}.downsample.1")
+            if f"{base}.se.0.weight" in sd:
+                # SE side branch (golden schema se.0 / se.2 Linear pair)
+                bp["se"] = {"fc1": convert_dense(sd, f"{base}.se.0"),
+                            "fc2": convert_dense(sd, f"{base}.se.2")}
             params["blocks"].append(bp)
             state["blocks"].append(bs)
     return params, state
@@ -233,6 +237,9 @@ def export_r2plus1d(params: Dict, state: Dict, prefix: str = "",
                 export_conv(bp["down"], f"{base}.downsample.0", out)
                 export_bn(bp["bn_down"], bs["bn_down"],
                           f"{base}.downsample.1", out)
+            if "se" in bp:
+                export_dense(bp["se"]["fc1"], f"{base}.se.0", out)
+                export_dense(bp["se"]["fc2"], f"{base}.se.2", out)
     return out
 
 

@@ -191,3 +191,33 @@ def test_r2plus1d_34_parity_eval():
         got, _ = R2Plus1D(cfg).apply(params, state, xj, train=False)
     assert len(params["blocks"]) == sum(blocks)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_r2plus1d_se_parity_eval():
+    """Flag-gated squeeze-excitation side branch (SURVEY §3.4 "2D-SE side
+    branch — must be re-verified"): golden schema layer{s}.{b}.se.0/.se.2."""
+    torch.manual_seed(8)
+    blocks, channels = (1, 1), (64, 128)
+    tg = R2Plus1DGolden(channels=channels, blocks=blocks, se_ratio=4).eval()
+    sd = state_dict_numpy(tg)
+    assert any(".se.0.weight" in k for k in sd)
+    x = np.random.RandomState(8).randn(2, 3, 4, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.from_numpy(x)).numpy()
+
+    params, state = convert_r2plus1d(sd, blocks_per_stage=blocks)
+    cfg = VisualNetConfig(block_channels=channels, blocks_per_stage=blocks,
+                          feature_dim=channels[-1], se_ratio=4)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    with highest():
+        got, _ = R2Plus1D(cfg).apply(params, state, xj, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+    # roundtrip: export back to torch schema and compare arrays
+    from m3f.pytorch_tpu.train.convert import export_r2plus1d
+    out = export_r2plus1d(params, state, blocks_per_stage=blocks)
+    for k, v in sd.items():
+        if "num_batches_tracked" in k:
+            continue
+        np.testing.assert_allclose(out[k], v, rtol=1e-6,
+                                   err_msg=f"roundtrip mismatch at {k}")

@@ -29,7 +29,7 @@ class Conv2Plus1D(nn.Sequential):
 
 
 class BasicBlock(nn.Module):
-    def __init__(self, inplanes, planes, stride=1):
+    def __init__(self, inplanes, planes, stride=1, se_ratio=0):
         super().__init__()
         # torchvision video/resnet.py computes midplanes ONCE per block from
         # (inplanes, planes) and reuses it for BOTH convs
@@ -47,17 +47,26 @@ class BasicBlock(nn.Module):
                 nn.Conv3d(inplanes, planes, 1, stride=(stride, stride, stride),
                           bias=False),
                 nn.BatchNorm3d(planes))
+        self.se = None
+        if se_ratio:
+            r = max(planes // se_ratio, 1)
+            self.se = nn.Sequential(nn.Linear(planes, r), nn.ReLU(inplace=True),
+                                    nn.Linear(r, planes))
 
     def forward(self, x):
         residual = x if self.downsample is None else self.downsample(x)
         out = self.conv2(self.conv1(x))
+        if self.se is not None:
+            w = torch.sigmoid(self.se(out.mean(dim=(2, 3, 4))))
+            out = out * w[:, :, None, None, None]
         return self.relu(out + residual)
 
 
 class R2Plus1DGolden(nn.Module):
     """torchvision-schema R(2+1)D-18 backbone → [B, 512] features (NCDHW in)."""
 
-    def __init__(self, channels=(64, 128, 256, 512), blocks=(2, 2, 2, 2)):
+    def __init__(self, channels=(64, 128, 256, 512), blocks=(2, 2, 2, 2),
+                 se_ratio=0):
         super().__init__()
         self.stem = nn.Sequential(
             nn.Conv3d(3, 45, (1, 7, 7), stride=(1, 2, 2), padding=(0, 3, 3),
@@ -69,14 +78,17 @@ class R2Plus1DGolden(nn.Module):
         for si, (c, n) in enumerate(zip(channels, blocks), start=1):
             layers = []
             for bi in range(n):
-                layers.append(BasicBlock(inplanes, c, stride=2 if (si > 1 and bi == 0) else 1))
+                layers.append(BasicBlock(inplanes, c,
+                                         stride=2 if (si > 1 and bi == 0) else 1,
+                                         se_ratio=se_ratio))
                 inplanes = c
             setattr(self, f"layer{si}", nn.Sequential(*layers))
+        self.num_stages = len(channels)
         self.avgpool = nn.AdaptiveAvgPool3d(1)
 
     def forward(self, x, per_frame=False):
         x = self.stem(x)
-        for si in range(1, 5):
+        for si in range(1, self.num_stages + 1):
             x = getattr(self, f"layer{si}")(x)
         if per_frame:
             return x.mean(dim=(3, 4)).transpose(1, 2)  # [B, T', C]
