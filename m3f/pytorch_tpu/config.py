@@ -221,9 +221,24 @@ class ExperimentConfig:
         return json.dumps(self.to_dict(), indent=2, sort_keys=True)
 
     def config_hash(self) -> str:
-        """Stable hash logged into checkpoints (SURVEY §5)."""
+        """Stable hash logged into checkpoints (SURVEY §5).
+
+        Covers what makes RESUMED STATE wrong — model architecture, window
+        geometry, optimizer structure, loss choice — and deliberately
+        excludes run cadence and placement (num_steps, batch size, eval /
+        checkpoint / log intervals, paths, mesh): extending a run, changing
+        batch size, or moving checkpoint dirs are legitimate resumes, and a
+        false abort there teaches users to delete the safety check.
+        """
+        semantic = {
+            "model": dataclasses.asdict(self.model),
+            "window": dataclasses.asdict(self.window),
+            "optim": dataclasses.asdict(self.train.optim),
+            "loss": self.train.loss,
+            "mse_weight": self.train.mse_weight,
+        }
         return hashlib.sha256(
-            json.dumps(self.to_dict(), sort_keys=True).encode()
+            json.dumps(semantic, sort_keys=True).encode()
         ).hexdigest()[:16]
 
     def replace(self, **kw) -> "ExperimentConfig":

@@ -80,8 +80,12 @@ def test_config_hash_mismatch_aborts(tmp_path):
     import pytest
     from m3f.pytorch_tpu.config import ExperimentConfig
 
+    from m3f.pytorch_tpu.config import GRUConfig, ModelConfig
+
     cfg_a = ExperimentConfig(name="a")
-    cfg_b = ExperimentConfig(name="b")
+    # hash is SEMANTIC: a model-arch change flips it (a bare rename wouldn't)
+    cfg_b = ExperimentConfig(name="a", model=ModelConfig(
+        gru=GRUConfig(hidden_size=128)))
     ck_a = Checkpointer(str(tmp_path), keep=2, cfg=cfg_a)
     ck_a.save(S(step=np.int32(1), w=np.ones(3)))
 

@@ -33,8 +33,20 @@ def test_override_string_coercion():
 
 
 def test_config_hash_changes_with_content():
-    a, b = fusion(), apply_overrides(fusion(), {"train.batch_size": 99})
-    assert a.config_hash() != b.config_hash()
+    # semantic fields (model / window / optim / loss) change the hash ...
+    a = fusion()
+    assert a.config_hash() != apply_overrides(
+        fusion(), {"model.gru.hidden_size": 128}).config_hash()
+    assert a.config_hash() != apply_overrides(
+        fusion(), {"train.optim.learning_rate": 0.123}).config_hash()
+    assert a.config_hash() != apply_overrides(
+        fusion(), {"train.loss": "mse"}).config_hash()
+    # ... run cadence / placement do NOT (legitimate resume changes:
+    # extending num_steps, new batch size, moved checkpoint dir)
+    assert a.config_hash() == apply_overrides(
+        fusion(), {"train.batch_size": 99}).config_hash()
+    assert a.config_hash() == apply_overrides(
+        fusion(), {"train.num_steps": 123}).config_hash()
     assert a.config_hash() == fusion().config_hash()
 
 

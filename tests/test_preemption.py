@@ -1,0 +1,98 @@
+"""End-to-end preemption test (SURVEY §5 failure detection/recovery).
+
+Launches the REAL CLI train entry in a subprocess, lets it take a few steps,
+delivers SIGTERM mid-run, and asserts:
+
+- the process exits with code 143 (the handler's SystemExit),
+- a preemption checkpoint was written even though the cadence
+  (checkpoint_every) was never reached,
+- a fresh run against the same directory RESUMES from that checkpoint.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# re-pin CPU inside the subprocess (the container's sitecustomize hard-sets
+# the axon TPU platform; conftest.py does the same dance for the test proc)
+_BOOT = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from m3f.pytorch_tpu.main import main
+import sys
+sys.exit(main(sys.argv[1:]))
+"""
+
+_OVERRIDES = [
+    "data.synthetic=true",
+    "model.audio.channels=[4,8]",
+    "model.audio.feature_dim=8",
+    "model.gru.hidden_size=8",
+    "train.batch_size=2",
+    "train.log_every=1",
+    "train.eval_every=100000",
+]
+
+
+def _launch(ckpt_dir, num_steps, log_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OMP_NUM_THREADS="1",
+               PYTHONUNBUFFERED="1",
+               M3F_JAX_CACHE=os.environ.get("M3F_TEST_JAX_CACHE",
+                                            "/tmp/m3f_jax_cache"))
+    # don't inherit the suite's 8-fake-device flag: batch_size=2 here
+    env.pop("XLA_FLAGS", None)
+    log = open(log_path, "w")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _BOOT, "train", "--preset", "audio_only",
+         f"train.num_steps={num_steps}",
+         f"train.checkpoint_dir={ckpt_dir}",
+         "train.checkpoint_every=100000",   # cadence never fires
+         *_OVERRIDES],
+        cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT)
+    return proc
+
+
+def _wait_for_step(proc, log_path, step, timeout=240):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if os.path.exists(log_path):
+            with open(log_path) as f:
+                if f"step {step}/" in f.read():
+                    return
+        if proc.poll() is not None:
+            raise AssertionError(
+                f"train process died early (rc={proc.returncode}): "
+                + open(log_path).read()[-2000:])
+        time.sleep(0.25)
+    raise AssertionError(f"no 'step {step}/' in {log_path} after {timeout}s: "
+                         + open(log_path).read()[-2000:])
+
+
+def test_sigterm_saves_checkpoint_and_resume(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    log_path = str(tmp_path / "train.log")
+    proc = _launch(ckpt_dir, num_steps=100000, log_path=log_path)
+    try:
+        _wait_for_step(proc, log_path, 3)
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert rc == 143, open(log_path).read()[-2000:]
+    ckpts = [f for f in os.listdir(ckpt_dir) if f.startswith("ckpt_")]
+    assert ckpts, "preemption handler saved nothing"
+
+    # resume picks up the preemption checkpoint: run 2 more steps to a
+    # bounded num_steps and watch the starting step exceed 1
+    log2 = str(tmp_path / "resume.log")
+    saved_step = max(int(f.split("_")[1].split(".")[0]) for f in ckpts)
+    proc2 = _launch(ckpt_dir, num_steps=saved_step + 2, log_path=log2)
+    rc2 = proc2.wait(timeout=240)
+    out = open(log2).read()
+    assert rc2 == 0, out[-2000:]
+    assert f"step {saved_step + 2}/{saved_step + 2}" in out
