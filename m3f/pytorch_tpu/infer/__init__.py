@@ -1,1 +1,3 @@
-"""Inference-time postprocessing and submission output."""
+"""Inference: Predictor serving API, postprocessing, submission output."""
+
+from m3f.pytorch_tpu.infer.predictor import Predictor  # noqa: F401

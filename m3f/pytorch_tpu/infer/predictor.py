@@ -1,0 +1,110 @@
+"""Production inference API: per-frame valence/arousal for raw videos.
+
+The reference has no serving story — inference is a Lightning ``test`` pass
+over a dataset directory (SURVEY §2.1 C9/C11).  This wraps the same fused
+whole-video eval path (on-device windowing → forward → per-frame stitch →
+clip, ONE jit call per video, shape-bucketed compiles) behind an API a
+service can hold long-lived:
+
+    p = Predictor(checkpoint="run/ckpt_00001000.npz")   # or imported torch npz
+    out = p.predict_video(frames=jpegs_uint8, waveform=wav16k)
+    out["pred"]   # [N, 2] float32 in [-1, 1], one (valence, arousal) per frame
+
+Labels are not required: the eval graph's CCC inputs are fed an all-invalid
+mask, the masked statistics guard to 0, and only the stitched predictions are
+consumed.  Several videos can be kept in flight (``predict_many``) so the
+next video's decode + H2D overlaps the current one's compute — the same
+pipelining the CLI ``predict`` subcommand uses.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from m3f.pytorch_tpu.config import ExperimentConfig, PRESETS, apply_overrides
+from m3f.pytorch_tpu.infer.submission import postprocess
+
+
+class Predictor:
+    def __init__(self, cfg: Optional[ExperimentConfig] = None,
+                 checkpoint: str = "", preset: str = "longseq_eval",
+                 overrides: Optional[dict] = None):
+        from m3f.pytorch_tpu.train.loop import Trainer
+
+        if cfg is None:
+            cfg = PRESETS[preset]()
+            if overrides:
+                cfg = apply_overrides(cfg, overrides)
+        self.cfg = cfg
+        self.trainer = Trainer(cfg)
+        self.state = self.trainer.init_state()
+        if checkpoint:
+            from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
+            self.state = load_model_checkpoint(self.state, checkpoint)
+
+    # -- single video -------------------------------------------------------
+
+    def _video_dict(self, frames: Optional[np.ndarray],
+                    waveform: Optional[np.ndarray]) -> Dict[str, np.ndarray]:
+        mcfg = self.cfg.model
+        if mcfg.use_video:
+            assert frames is not None, "model uses video; pass frames [N,S,S,3] uint8"
+            n = len(frames)
+        else:
+            assert waveform is not None, "audio-only model; pass waveform"
+            n = int(round(len(waveform) / mcfg.mel.sample_rate * self.cfg.data.fps))
+            n = max(n, 1)
+        if mcfg.use_audio:
+            assert waveform is not None, "model uses audio; pass 16 kHz waveform"
+        video = {
+            # no labels at inference: all-invalid so the graph's CCC inputs
+            # are inert (masked statistics guard to 0)
+            "labels": np.full((n, 2), -5.0, np.float32),
+            "valid": np.zeros(n, bool),
+        }
+        if frames is not None:
+            video["frames"] = np.ascontiguousarray(frames, dtype=np.uint8)
+        if waveform is not None:
+            video["waveform"] = np.asarray(waveform, np.float32)
+        return video
+
+    def predict_video(self, frames: Optional[np.ndarray] = None,
+                      waveform: Optional[np.ndarray] = None,
+                      smooth_window: int = 0) -> Dict[str, np.ndarray]:
+        """Per-frame predictions for one video.
+
+        frames: [N, S, S, 3] uint8 face crops (S = cfg.data.image_size);
+        waveform: mono float32 at cfg.model.mel.sample_rate.
+        Returns {"pred": [N, 2] float32 in [-1, 1]}.
+        """
+        out = self.trainer.evaluate_video(
+            self.state, self._video_dict(frames, waveform))
+        return {"pred": postprocess(out["pred"], smooth_window=smooth_window)}
+
+    # -- pipelined stream ----------------------------------------------------
+
+    def predict_many(self, videos: Iterable[Tuple[str, Dict[str, np.ndarray]]],
+                     smooth_window: int = 0, pipeline: int = 2
+                     ) -> Iterator[Tuple[str, np.ndarray]]:
+        """Pipelined inference over (video_id, {frames, waveform}) pairs.
+
+        Keeps ``pipeline`` videos in flight: the next video's H2D transfer
+        overlaps the current video's device compute. Yields
+        (video_id, preds [N, 2]) in input order.
+        """
+        pending: List[Tuple[str, object]] = []
+
+        def drain():
+            vid, fut = pending.pop(0)
+            pred = self.trainer._collect_eval(fut)["pred"]
+            return vid, postprocess(pred, smooth_window=smooth_window)
+
+        for vid, v in videos:
+            vd = self._video_dict(v.get("frames"), v.get("waveform"))
+            pending.append((vid, self.trainer._dispatch_eval(self.state, vd)))
+            if len(pending) >= max(pipeline, 1):
+                yield drain()
+        while pending:
+            yield drain()

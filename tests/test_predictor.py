@@ -1,0 +1,84 @@
+"""Predictor serving API (infer/predictor.py): label-free per-frame inference."""
+
+import numpy as np
+import pytest
+
+from m3f.pytorch_tpu.config import (AudioNetConfig, ExperimentConfig,
+                                    GRUConfig, ModelConfig, TrainConfig,
+                                    VisualNetConfig, WindowConfig)
+from m3f.pytorch_tpu.infer import Predictor
+
+
+def tiny_cfg(use_video: bool) -> ExperimentConfig:
+    return ExperimentConfig(
+        name="pred_tiny",
+        model=ModelConfig(
+            use_audio=True, use_video=use_video,
+            audio=AudioNetConfig(channels=(4, 8), feature_dim=8),
+            visual=VisualNetConfig(block_channels=(8, 16),
+                                   blocks_per_stage=(1, 1),
+                                   stem_channels=8, feature_dim=16),
+            gru=GRUConfig(hidden_size=8),
+        ),
+        window=WindowConfig(windows_per_clip=2, eval_stride=8),
+        train=TrainConfig(batch_size=2),
+    )
+
+
+def _wav(n_frames, cfg, seed=0):
+    sr, fps = cfg.model.mel.sample_rate, cfg.data.fps
+    n = int(round(n_frames / fps * sr)) + sr  # headroom for window tails
+    return np.random.RandomState(seed).randn(n).astype(np.float32)
+
+
+def test_predict_video_audio_only():
+    cfg = tiny_cfg(use_video=False)
+    p = Predictor(cfg=cfg)
+    out = p.predict_video(waveform=_wav(50, cfg))
+    pred = out["pred"]
+    assert pred.shape[1] == 2 and len(pred) >= 40
+    assert np.isfinite(pred).all()
+    assert (np.abs(pred) <= 1.0 + 1e-6).all()
+
+
+def test_predict_video_fusion_and_smoothing():
+    cfg = tiny_cfg(use_video=True)
+    S = cfg.data.image_size
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 256, (40, S, S, 3), dtype=np.uint8)
+    p = Predictor(cfg=cfg)
+    raw = p.predict_video(frames=frames, waveform=_wav(40, cfg))["pred"]
+    smooth = p.predict_video(frames=frames, waveform=_wav(40, cfg),
+                             smooth_window=9)["pred"]
+    assert raw.shape == (40, 2)
+    # smoothing reduces frame-to-frame variation
+    tv = lambda x: np.abs(np.diff(x, axis=0)).mean()
+    assert tv(smooth) <= tv(raw) + 1e-6
+
+
+def test_predict_many_pipelined_matches_single():
+    cfg = tiny_cfg(use_video=False)
+    p = Predictor(cfg=cfg)
+    vids = [(f"v{i}", {"waveform": _wav(30 + 10 * i, cfg, seed=i)})
+            for i in range(3)]
+    got = dict(p.predict_many(iter(vids), pipeline=2))
+    assert list(got) == ["v0", "v1", "v2"]
+    for vid, v in vids:
+        single = p.predict_video(waveform=v["waveform"])["pred"]
+        np.testing.assert_allclose(got[vid], single, rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_checkpoint_load(tmp_path):
+    import jax
+    from m3f.pytorch_tpu.train.checkpoint import Checkpointer
+    from m3f.pytorch_tpu.train.loop import Trainer
+
+    cfg = tiny_cfg(use_video=False)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    ck = Checkpointer(str(tmp_path), keep=1, cfg=cfg)
+    ck.save(jax.device_get(state))
+    path = ck._path(0)
+    p = Predictor(cfg=cfg, checkpoint=path)
+    out = p.predict_video(waveform=_wav(30, cfg))
+    assert np.isfinite(out["pred"]).all()
