@@ -70,3 +70,45 @@ def test_summarize_trace(tmp_path):
     assert rows[0]["op"] == "fusion" and abs(rows[0]["ms"] - 7.0) < 1e-6
     assert abs(rows[0]["percent"] - 70.0) < 1e-6
     assert {r["op"] for r in rows} == {"fusion", "convert_reduce_fusion"}
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    """scripts/export_stablehlo.py: serialized artifact reloads and matches
+    the live model (weights baked in as constants)."""
+    import jax
+    from jax import export as jexport
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "export_stablehlo", os.path.join(REPO, "scripts/export_stablehlo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from m3f.pytorch_tpu.config import (AudioNetConfig, ExperimentConfig,
+                                        GRUConfig, ModelConfig, TrainConfig,
+                                        WindowConfig)
+    from m3f.pytorch_tpu.train.loop import Trainer
+
+    cfg = ExperimentConfig(
+        name="shlo",
+        model=ModelConfig(use_audio=True, use_video=False,
+                          audio=AudioNetConfig(channels=(4, 8), feature_dim=8),
+                          gru=GRUConfig(hidden_size=8),
+                          compute_dtype="float32"),
+        window=WindowConfig(windows_per_clip=2),
+        train=TrainConfig(batch_size=2))
+    exported, example = mod.build_exported(cfg, batch=2)
+    blob = exported.serialize()
+    assert len(blob) > 1000
+
+    rng = np.random.RandomState(3)
+    wav = rng.randn(*example[0].shape).astype(np.float32)
+    reloaded = jexport.deserialize(blob)
+    got = reloaded.call(wav)
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    want, _ = trainer.model.apply(state.params, state.bn_state, wav=wav,
+                                  train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
