@@ -223,26 +223,54 @@ class ExperimentConfig:
     def config_hash(self) -> str:
         """Stable hash logged into checkpoints (SURVEY §5).
 
-        Covers what makes RESUMED STATE wrong — model architecture, window
-        geometry, optimizer structure, loss choice — and deliberately
-        excludes run cadence and placement (num_steps, batch size, eval /
-        checkpoint / log intervals, paths, mesh): extending a run, changing
-        batch size, or moving checkpoint dirs are legitimate resumes, and a
-        false abort there teaches users to delete the safety check.
+        Covers what makes RESUMED STATE wrong — model architecture, input
+        semantics (image size, fps alignment), window geometry, optimizer
+        structure, loss choice — and deliberately excludes run cadence,
+        placement, and pure backend knobs (num_steps, batch size, eval /
+        checkpoint / log intervals, paths, mesh, xla-vs-pallas selections,
+        init_from): extending a run, changing batch size, flipping a kernel
+        backend with identical math, or moving files are legitimate resumes,
+        and a false abort there teaches users to delete the safety check.
         """
+        model = dataclasses.asdict(self.model)
+        # backend knobs are documented identical-math alternatives, and
+        # init_from is a file path consumed once at init (a resume checkpoint
+        # wins over it anyway)
+        model.pop("mel_backend", None)
+        model.pop("init_from", None)
+        model["visual"].pop("conv_backend", None)
+        model["gru"].pop("backend", None)
         semantic = {
-            "model": dataclasses.asdict(self.model),
+            "model": model,
             "window": dataclasses.asdict(self.window),
             "optim": dataclasses.asdict(self.train.optim),
             "loss": self.train.loss,
-            "mse_weight": self.train.mse_weight,
+            # input semantics: resolution and the audio/frame alignment rate
+            "image_size": self.data.image_size,
+            "fps": self.data.fps,
         }
+        if "mse" in self.train.loss:
+            semantic["mse_weight"] = self.train.mse_weight
         return hashlib.sha256(
             json.dumps(semantic, sort_keys=True).encode()
         ).hexdigest()[:16]
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)
+
+
+def _coerce_scalar(v):
+    """Best-effort int → float → as-is coercion for untyped tuple elements
+    (the current tuple is empty, so there is no element type to copy)."""
+    if not isinstance(v, str):
+        return v
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
 
 
 def _replace_nested(cfg: Any, dotted: str, value: Any) -> Any:
@@ -257,8 +285,14 @@ def _replace_nested(cfg: Any, dotted: str, value: Any) -> Any:
             # coercing elements to the existing element type
             if isinstance(value, str):
                 value = [p for p in value.split(",") if p != ""]
+            elif not isinstance(value, (list, tuple)):
+                raise ValueError(
+                    f"override '{dotted}' needs a list for tuple field "
+                    f"{head} (e.g. {head}=[3,4,6,3] or {head}=3,4,6,3), "
+                    f"got {value!r}")
             elem = type(current[0]) if current else None
-            value = tuple(elem(v) if elem is not None else v for v in value)
+            value = tuple(elem(v) if elem is not None else _coerce_scalar(v)
+                          for v in value)
         elif value is not None and f.type not in (Any,) and not isinstance(value, (dict, list, tuple)):
             # best-effort scalar coercion from CLI strings
             if isinstance(current, bool):

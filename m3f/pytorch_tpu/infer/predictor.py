@@ -94,17 +94,8 @@ class Predictor:
         overlaps the current video's device compute. Yields
         (video_id, preds [N, 2]) in input order.
         """
-        pending: List[Tuple[str, object]] = []
-
-        def drain():
-            vid, fut = pending.pop(0)
-            pred = self.trainer._collect_eval(fut)["pred"]
-            return vid, postprocess(pred, smooth_window=smooth_window)
-
-        for vid, v in videos:
-            vd = self._video_dict(v.get("frames"), v.get("waveform"))
-            pending.append((vid, self.trainer._dispatch_eval(self.state, vd)))
-            if len(pending) >= max(pipeline, 1):
-                yield drain()
-        while pending:
-            yield drain()
+        prepared = ((vid, self._video_dict(v.get("frames"), v.get("waveform")))
+                    for vid, v in videos)
+        for vid, r in self.trainer.evaluate_stream(self.state, prepared,
+                                                   pipeline=pipeline):
+            yield vid, postprocess(r["pred"], smooth_window=smooth_window)

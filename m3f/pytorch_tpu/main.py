@@ -139,20 +139,15 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
     ids = ds.video_ids()
     if args.max_videos:
         ids = ids[: args.max_videos]
+
     # pipelined: decode/H2D of the next video overlaps the current compute
-    pending: List = []
-    def _drain():
-        vid, valid, fut = pending.pop(0)
-        preds[vid] = trainer._collect_eval(fut)["pred"]
-        valids[vid] = valid
-    for vid in ids:
+    def load(vid):
         video = ds.load_video(vid)
-        pending.append((vid, video["valid"],
-                        trainer._dispatch_eval(state, video)))
-        if len(pending) >= 2:
-            _drain()
-    while pending:
-        _drain()
+        valids[vid] = video["valid"]
+        return vid, video
+
+    for vid, r in trainer.evaluate_stream(state, (load(v) for v in ids)):
+        preds[vid] = r["pred"]
     write_submission(args.out, preds, valids, smooth_window=args.smooth)
     print(f"wrote {len(preds)} submission files to {args.out}")
     return 0

@@ -360,19 +360,30 @@ class Trainer:
         if max_videos:
             ids = ids[:max_videos]
         vs, as_ = [], []
-        inflight: List[Any] = []
-        for vid in ids:
-            inflight.append(self._dispatch_eval(state, dataset.load_video(vid)))
-            if len(inflight) >= max(pipeline, 1):
-                r = self._collect_eval(inflight.pop(0))
-                vs.append(r["ccc_v"])
-                as_.append(r["ccc_a"])
-        for p in inflight:
-            r = self._collect_eval(p)
+        videos = ((vid, dataset.load_video(vid)) for vid in ids)
+        for _vid, r in self.evaluate_stream(state, videos, pipeline=pipeline):
             vs.append(r["ccc_v"])
             as_.append(r["ccc_a"])
         return {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
                 "ccc_mean": float((np.mean(vs) + np.mean(as_)) / 2)}
+
+    def evaluate_stream(self, state: TrainState, videos,
+                        pipeline: int = 2):
+        """Pipelined whole-video eval over (video_id, video_dict) pairs.
+
+        THE shared in-flight loop (evaluate, the predict CLI, and the
+        Predictor serving API all route through it): while the device works
+        on video i, video i+1's decode + H2D streams. Yields
+        (video_id, _collect_eval result) in input order.
+        """
+        inflight: List[Any] = []
+        for vid, video in videos:
+            inflight.append((vid, self._dispatch_eval(state, video)))
+            if len(inflight) >= max(pipeline, 1):
+                v, fut = inflight.pop(0)
+                yield v, self._collect_eval(fut)
+        for v, fut in inflight:
+            yield v, self._collect_eval(fut)
 
     # -- fit ---------------------------------------------------------------
 

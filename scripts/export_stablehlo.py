@@ -22,8 +22,14 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
 import numpy as np
 
 
-def build_exported(cfg, checkpoint: str = "", batch: int = 2):
-    """Trace + export the eval-mode forward; returns (exported, example args)."""
+def build_exported(cfg, checkpoint: str = "", batch: int = 2,
+                   platforms=("cpu", "tpu")):
+    """Trace + export the eval-mode forward; returns (exported, example args).
+
+    ``platforms`` lowers the artifact for EVERY listed backend (jax.export
+    multi-platform), so the same file serves on TPU and on a CPU fallback —
+    without it the artifact only runs where it was exported.
+    """
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -60,7 +66,7 @@ def build_exported(cfg, checkpoint: str = "", batch: int = 2):
         preds, _ = trainer.model.apply(params, bn_state, train=False, **kw)
         return preds
 
-    exported = jexport.export(jax.jit(fwd))(
+    exported = jexport.export(jax.jit(fwd), platforms=list(platforms))(
         *[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args])
     return exported, args
 
@@ -70,6 +76,8 @@ def main(argv=None) -> int:
     ap.add_argument("--preset", default="fusion")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--platforms", default="cpu,tpu",
+                    help="comma list of backends to lower for (cpu,tpu,cuda)")
     ap.add_argument("--out", required=True)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -79,7 +87,8 @@ def main(argv=None) -> int:
     from m3f.pytorch_tpu.main import build_config
     cfg = build_config(args.preset, args.overrides)
 
-    exported, example = build_exported(cfg, args.checkpoint, args.batch)
+    exported, example = build_exported(cfg, args.checkpoint, args.batch,
+                                       platforms=args.platforms.split(","))
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)

@@ -41,12 +41,21 @@ def test_config_hash_changes_with_content():
         fusion(), {"train.optim.learning_rate": 0.123}).config_hash()
     assert a.config_hash() != apply_overrides(
         fusion(), {"train.loss": "mse"}).config_hash()
-    # ... run cadence / placement do NOT (legitimate resume changes:
-    # extending num_steps, new batch size, moved checkpoint dir)
+    assert a.config_hash() != apply_overrides(
+        fusion(), {"data.image_size": 224}).config_hash()  # input semantics
+    # ... run cadence / placement / identical-math backend knobs do NOT
+    # (legitimate resume changes: extending num_steps, new batch size,
+    # moved checkpoint dir or pretrained npz, xla<->pallas flips)
     assert a.config_hash() == apply_overrides(
         fusion(), {"train.batch_size": 99}).config_hash()
     assert a.config_hash() == apply_overrides(
         fusion(), {"train.num_steps": 123}).config_hash()
+    assert a.config_hash() == apply_overrides(
+        fusion(), {"model.visual.conv_backend": "pallas_fused"}).config_hash()
+    assert a.config_hash() == apply_overrides(
+        fusion(), {"model.gru.backend": "pallas"}).config_hash()
+    assert a.config_hash() == apply_overrides(
+        fusion(), {"model.init_from": "/some/other/path.npz"}).config_hash()
     assert a.config_hash() == fusion().config_hash()
 
 
@@ -117,3 +126,11 @@ def test_tuple_field_overrides():
     assert cfg.model.audio.channels == (16, 32)
     # hashing still works with overridden tuples
     assert cfg.config_hash()
+
+
+def test_tuple_field_override_bad_scalar_errors():
+    import pytest
+    from m3f.pytorch_tpu.config import fusion, apply_overrides
+
+    with pytest.raises(ValueError, match="blocks_per_stage"):
+        apply_overrides(fusion(), {"model.visual.blocks_per_stage": 3})
