@@ -55,6 +55,7 @@ class AudioNetConfig:
     feature_dim: int = 256                          # output feature per window
     norm: str = "batch"                             # batchnorm like the torch repo family
     mel_frames_per_window: int = 16                 # mel frames consumed per 16-frame video window
+    bn_two_pass: bool = False                       # torch-order BN variance (see nn.BatchNorm)
 
 
 @dataclass(frozen=True)
@@ -77,6 +78,7 @@ class VisualNetConfig:
     # default), >0 = SE channel-reduction ratio (16 is the SE-Net default).
     # SE blocks always use the XLA conv path.
     se_ratio: int = 0
+    bn_two_pass: bool = False  # torch-order BN variance (see nn.BatchNorm)
 
 
 @dataclass(frozen=True)
@@ -239,6 +241,8 @@ class ExperimentConfig:
         model.pop("mel_backend", None)
         model.pop("init_from", None)
         model["visual"].pop("conv_backend", None)
+        model["visual"].pop("bn_two_pass", None)
+        model["audio"].pop("bn_two_pass", None)
         model["gru"].pop("backend", None)
         semantic = {
             "model": model,

@@ -32,7 +32,7 @@ class AudioCNN:
             # explicit (1,1) padding — torch semantics; "SAME" pads
             # asymmetrically under stride 2 and breaks checkpoint parity
             convs.append(Conv(in_c, out_c, (3, 3), strides=(2, 2), padding=1))
-            bns.append(BatchNorm(out_c))
+            bns.append(BatchNorm(out_c, two_pass=self.cfg.bn_two_pass))
             in_c = out_c
         return convs, bns, Dense(in_c, self.cfg.feature_dim)
 

@@ -52,6 +52,7 @@ class Conv2Plus1D:
     out_c: int
     mid: int
     stride: Tuple[int, int, int] = (1, 1, 1)
+    bn_two_pass: bool = False
 
     def _layers(self):
         mid = self.mid
@@ -60,7 +61,7 @@ class Conv2Plus1D:
                        padding=((0, 0), (1, 1), (1, 1)))
         temporal = Conv(mid, self.out_c, (3, 1, 1), strides=(st, 1, 1),
                         padding=((1, 1), (0, 0), (0, 0)))
-        return spatial, BatchNorm(mid), temporal
+        return spatial, BatchNorm(mid, two_pass=self.bn_two_pass), temporal
 
     def init(self, key):
         ks, kt = jax.random.split(key)
@@ -99,6 +100,7 @@ class BasicBlock:
     in_c: int
     out_c: int
     stride: Tuple[int, int, int] = (1, 1, 1)
+    bn_two_pass: bool = False
     # Squeeze-excitation side branch after bn2 (SURVEY §3.4 notes the
     # reference MAY carry an SE variant — flag-gated so the default stays
     # exactly the torchvision recipe and checkpoint-compatible). >0 = the
@@ -113,11 +115,14 @@ class BasicBlock:
         # ONE midplane count per block, from (in_c, out_c), shared by both
         # convs — the torchvision VideoResNet recipe (checkpoint compat)
         mid = midplanes(self.in_c, self.out_c)
-        conv1 = Conv2Plus1D(self.in_c, self.out_c, mid, self.stride)
-        conv2 = Conv2Plus1D(self.out_c, self.out_c, mid)
+        conv1 = Conv2Plus1D(self.in_c, self.out_c, mid, self.stride,
+                            bn_two_pass=self.bn_two_pass)
+        conv2 = Conv2Plus1D(self.out_c, self.out_c, mid,
+                            bn_two_pass=self.bn_two_pass)
         down = Conv(self.in_c, self.out_c, (1, 1, 1), strides=self.stride,
                     padding="VALID") if self.has_downsample else None
-        return conv1, BatchNorm(self.out_c), conv2, BatchNorm(self.out_c), down
+        bn = lambda: BatchNorm(self.out_c, two_pass=self.bn_two_pass)
+        return conv1, bn(), conv2, bn(), down
 
     def _se(self):
         r = max(self.out_c // self.se_ratio, 1)
@@ -134,7 +139,7 @@ class BasicBlock:
         state = {"conv1": s1, "bn1": bs1, "conv2": s2, "bn2": bs2}
         if down is not None:
             params["down"] = down.init(kd)
-            bpd, bsd = BatchNorm(self.out_c).init(None)
+            bpd, bsd = BatchNorm(self.out_c, two_pass=self.bn_two_pass).init(None)
             params["bn_down"] = bpd
             state["bn_down"] = bsd
         if self.se_ratio:
@@ -160,7 +165,7 @@ class BasicBlock:
             y = y * jax.nn.sigmoid(w)[:, None, None, None, :].astype(y.dtype)
         if down is not None:
             sc = down.apply(params["down"], x)
-            sc, ns["bn_down"] = BatchNorm(self.out_c).apply(
+            sc, ns["bn_down"] = BatchNorm(self.out_c, two_pass=self.bn_two_pass).apply(
                 params["bn_down"], state["bn_down"], sc, train)
         else:
             sc = x
@@ -194,10 +199,11 @@ class R2Plus1D:
     def _stem(self):
         return (Conv(3, 45, (1, 7, 7), strides=(1, 2, 2),
                      padding=((0, 0), (3, 3), (3, 3))),
-                BatchNorm(45),
+                BatchNorm(45, two_pass=self.cfg.bn_two_pass),
                 Conv(45, self.cfg.stem_channels, (3, 1, 1),
                      padding=((1, 1), (0, 0), (0, 0))),
-                BatchNorm(self.cfg.stem_channels))
+                BatchNorm(self.cfg.stem_channels,
+                          two_pass=self.cfg.bn_two_pass))
 
     def _blocks(self):
         blocks = []
@@ -207,6 +213,7 @@ class R2Plus1D:
             for bi in range(n):
                 stride = (2, 2, 2) if (si > 0 and bi == 0) else (1, 1, 1)
                 blocks.append(BasicBlock(in_c, out_c, stride,
+                                         bn_two_pass=self.cfg.bn_two_pass,
                                          se_ratio=self.cfg.se_ratio))
                 in_c = out_c
         return blocks

@@ -221,3 +221,113 @@ def test_r2plus1d_se_parity_eval():
             continue
         np.testing.assert_allclose(out[k], v, rtol=1e-6,
                                    err_msg=f"roundtrip mismatch at {k}")
+
+
+def test_m3f_gradient_parity_training_mode():
+    """FULL training-semantics parity: same weights, same batch, same masked
+    CCC loss — torch autograd and jax.grad must agree (BN in train mode, so
+    the batch-statistics backward path is exercised). Backs the [B:5] "CCC
+    within 1e-3 of the reference" claim at the TRAINING level.
+
+    Methodology: the deepest gradients are inherently ill-conditioned at
+    fp32 (18 BN-backward cancellation layers) — torch's OWN fp32 stem
+    gradient is ~7e-3 relative off its fp64 truth (measured). So torch-fp64
+    is the ground truth, and jax-fp32 must land within 4x of torch-fp32's
+    own distance from it; well-conditioned leaves also get an absolute
+    2e-3 agreement check. Runs with bn_two_pass=True (torch's variance
+    order; the default one-pass stats add another ~2x drift at depth —
+    see nn.BatchNorm.two_pass)."""
+    B, W, L = 1, 2, 8
+    rng = np.random.RandomState(9)
+    video = rng.randn(B, W, 3, L, 56, 56).astype(np.float32)
+    mel = rng.randn(B, W, 1, 32, 64).astype(np.float32)
+    labels = rng.uniform(-1, 1, (B, W, L, 2)).astype(np.float32)
+    mask = rng.rand(B, W, L) > 0.25  # some invalid frames
+
+    def torch_ccc_loss(pred, target, m):
+        m = m[..., None].to(pred.dtype).expand_as(target)
+        pred = pred.reshape(-1, 2)
+        target = target.reshape(-1, 2)
+        m = m.reshape(-1, 2)
+        cnt = m.sum(0).clamp_min(1e-12)
+        mu_p = (pred * m).sum(0) / cnt
+        mu_t = (target * m).sum(0) / cnt
+        dp, dt = pred - mu_p, target - mu_t
+        cov = (dp * dt * m).sum(0) / cnt
+        var_p = (dp * dp * m).sum(0) / cnt
+        var_t = (dt * dt * m).sum(0) / cnt
+        ccc = 2 * cov / (var_p + var_t + (mu_p - mu_t) ** 2 + 1e-8)
+        return 1.0 - ccc.mean()
+
+    def torch_run(dtype):
+        torch.manual_seed(9)
+        tg = M3FGolden(per_frame=True).train().to(dtype)
+        loss = torch_ccc_loss(
+            tg(torch.from_numpy(video).to(dtype),
+               torch.from_numpy(mel).to(dtype)),
+            torch.from_numpy(labels).to(dtype), torch.from_numpy(mask))
+        loss.backward()
+        grads = {
+            "head.kernel": tg.head.weight.grad.numpy().T,
+            "gru.fwd.w_ih": tg.gru.weight_ih_l0.grad.numpy().T,
+            "gru.bwd.w_hh": tg.gru.weight_hh_l0_reverse.grad.numpy().T,
+            "stem.conv1": tg.visual.stem[0].weight.grad.numpy()
+                          .transpose(2, 3, 4, 1, 0),
+            "audio.conv0": tg.audio.convs[0].weight.grad.numpy()
+                           .transpose(2, 3, 1, 0),
+            "blk0.bn1.scale": tg.visual.layer1[0].conv1[1].weight.grad.numpy(),
+        }
+        return tg, float(loss.detach()), grads
+
+    _, loss32, g32 = torch_run(torch.float32)
+    _, loss64, g64 = torch_run(torch.float64)
+    torch.manual_seed(9)  # same init as torch_run
+    sd = state_dict_numpy(M3FGolden(per_frame=True))
+
+    # ---- jax fp32 with converted weights + identical loss
+    from m3f.pytorch_tpu.config import AudioNetConfig as ANC
+    from m3f.pytorch_tpu.ops.ccc import ccc_loss
+
+    params, state = convert_m3f(sd)
+    cfg = ModelConfig(compute_dtype="float32", per_frame=True,
+                      audio=ANC(bn_two_pass=True),
+                      visual=VisualNetConfig(bn_two_pass=True))
+    model = M3F(cfg)
+    vj = jnp.asarray(video.transpose(0, 1, 3, 4, 5, 2))
+    mj = jnp.asarray(mel[:, :, 0])
+
+    def loss_fn(p):
+        preds, _ = model.apply(p, state, video=vj, mel=mj, train=True)
+        return ccc_loss(preds, jnp.asarray(labels), jnp.asarray(mask))
+
+    with highest():
+        j_loss, grads = jax.value_and_grad(loss_fn)(params)
+
+    np.testing.assert_allclose(float(j_loss), loss64, rtol=1e-4,
+                               err_msg="loss mismatch vs fp64 truth")
+
+    jmap = {
+        "head.kernel": grads["head"]["kernel"],
+        "gru.fwd.w_ih": grads["gru"]["layers"][0]["fwd"]["w_ih"],
+        "gru.bwd.w_hh": grads["gru"]["layers"][0]["bwd"]["w_hh"],
+        "stem.conv1": grads["visual"]["stem"]["conv1"]["kernel"],
+        "audio.conv0": grads["audio"]["conv"][0]["kernel"],
+        "blk0.bn1.scale": grads["visual"]["blocks"][0]["bn1"]["scale"],
+    }
+    well_conditioned = {"head.kernel", "gru.fwd.w_ih", "gru.bwd.w_hh",
+                        "audio.conv0"}
+    for name, truth in g64.items():
+        scale = np.abs(truth).max() + 1e-12
+        err_torch32 = np.abs(g32[name] - truth).max()
+        err_jax = np.abs(np.asarray(jmap[name], np.float64) - truth).max()
+        # floor: where torch's own fp32 error is near machine noise the 4x
+        # ratio is meaningless — allow up to 2e-4 relative outright (the
+        # absolute 2e-3 check below still binds the well-conditioned leaves)
+        floor = 5e-5 * scale
+        assert err_jax <= 4.0 * max(err_torch32, floor), (
+            f"{name}: jax fp32 error {err_jax:.3e} exceeds 4x torch fp32's "
+            f"own error {err_torch32:.3e} from the fp64 truth (scale {scale:.3e})")
+        if name in well_conditioned:
+            np.testing.assert_allclose(
+                np.asarray(jmap[name]), g64[name], rtol=2e-3, atol=2e-3 * scale,
+                err_msg=f"gradient mismatch at {name}")
