@@ -120,7 +120,22 @@ def cmd_eval(cfg: ExperimentConfig, args) -> int:
         from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
         state = load_model_checkpoint(state, args.checkpoint)
     ds = make_dataset(cfg, "val")
-    res = trainer.evaluate(state, ds, max_videos=args.max_videos)
+    if args.per_video:
+        # per-video CCC rows (debugging which videos drag the mean down)
+        ids = ds.video_ids()
+        if args.max_videos:
+            ids = ids[: args.max_videos]
+        vids = ((vid, ds.load_video(vid)) for vid in ids)
+        vs, as_ = [], []
+        for vid, r in trainer.evaluate_stream(state, vids):
+            print(json.dumps({"video": vid, "ccc_v": r["ccc_v"],
+                              "ccc_a": r["ccc_a"]}))
+            vs.append(r["ccc_v"])
+            as_.append(r["ccc_a"])
+        res = {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
+               "ccc_mean": float((np.mean(vs) + np.mean(as_)) / 2)}
+    else:
+        res = trainer.evaluate(state, ds, max_videos=args.max_videos)
     print(json.dumps(res))
     return 0
 
@@ -180,6 +195,9 @@ def main(argv=None) -> int:
         else:
             sp.add_argument("--checkpoint", default="")
             sp.add_argument("--max-videos", type=int, default=0)
+        if name == "eval":
+            sp.add_argument("--per-video", action="store_true",
+                            help="print one JSON row of CCCs per video")
         if name == "predict":
             sp.add_argument("--out", default="submission")
             sp.add_argument("--smooth", type=int, default=1,

@@ -251,7 +251,9 @@ class R2Plus1D:
         x, ns2 = s_bn2.apply(params["stem"]["bn2"], state["stem"]["bn2"], x, train)
         x = relu(x)
         new_state = {"stem": {"bn1": ns1, "bn2": ns2}, "blocks": []}
-        fused = self.cfg.conv_backend == "pallas_fused"
+        # the fused conv path computes BN stats as s1/s2 epilogues — one-pass
+        # by construction — so two-pass BN routes through the XLA composition
+        fused = self.cfg.conv_backend == "pallas_fused" and not self.cfg.bn_two_pass
         if fused:
             from m3f.pytorch_tpu.ops.pallas import conv_bn
             # the all-Pallas backward needs its dW accumulator in VMEM —
