@@ -140,6 +140,44 @@ def cmd_eval(cfg: ExperimentConfig, args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export weights / serving artifacts (wraps the scripts/ tools).
+
+    --format torch:     checkpoint npz → reference-schema torch state_dict .pt
+    --format stablehlo: self-contained multi-platform forward artifact
+    """
+    import importlib.util
+    import os
+
+    scripts = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "scripts")
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(scripts, name + ".py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    if args.format == "torch":
+        if not args.checkpoint:
+            raise SystemExit("--format torch requires --checkpoint")
+        return load("export_torch_checkpoint").main([args.checkpoint, args.out])
+
+    from m3f.pytorch_tpu.cache import enable_persistent_cache
+    enable_persistent_cache()
+    cfg = build_config(args.preset, args.overrides)
+    mod = load("export_stablehlo")
+    exported, example = mod.build_exported(
+        cfg, args.checkpoint, args.batch,
+        platforms=args.platforms.split(","))
+    with open(args.out, "wb") as f:
+        f.write(exported.serialize())
+    print(f"wrote {args.out}: inputs {[tuple(a.shape) for a in example]}, "
+          f"platforms {exported.platforms}")
+    return 0
+
+
 def cmd_predict(cfg: ExperimentConfig, args) -> int:
     """Full-video predictions → ABAW submission txts (C11)."""
     from m3f.pytorch_tpu.infer.submission import write_submission
@@ -202,9 +240,21 @@ def main(argv=None) -> int:
             sp.add_argument("--out", default="submission")
             sp.add_argument("--smooth", type=int, default=1,
                             help="moving-average smoothing window (frames)")
+    sp = sub.add_parser("export", help="export weights / serving artifacts")
+    sp.add_argument("--preset", default="fusion", choices=sorted(PRESETS))
+    sp.add_argument("--checkpoint", default="", help="TrainState or imported npz")
+    sp.add_argument("--format", choices=("torch", "stablehlo"), required=True,
+                    help="torch: reference-schema state_dict npz; "
+                         "stablehlo: self-contained serving artifact")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--batch", type=int, default=8, help="stablehlo batch dim")
+    sp.add_argument("--platforms", default="cpu,tpu")
+    sp.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
     if args.cmd == "profile":
         return cmd_profile(args)
+    if args.cmd == "export":
+        return cmd_export(args)
     from m3f.pytorch_tpu.cache import enable_persistent_cache
     enable_persistent_cache()
     cfg = build_config(args.preset, args.overrides)

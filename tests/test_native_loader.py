@@ -76,3 +76,21 @@ def test_prefetcher_order_and_exception():
     with pytest.raises(RuntimeError):
         next(pf)
         next(pf)
+
+
+def test_degenerate_tiny_sources(tmp_path):
+    """1-pixel-wide/tall sources must not read out of bounds in the bilinear
+    resize (ADVICE r1: p10/p01 dereferenced past the buffer when sh/sw == 1;
+    neighbors are clamped now)."""
+    import cv2
+    paths = []
+    rng = np.random.RandomState(7)
+    for i, size in enumerate([(1, 64), (64, 1), (1, 1), (2, 2)]):
+        img = rng.randint(0, 256, size + (3,), dtype=np.uint8)
+        p = str(tmp_path / f"tiny{i}.jpg")
+        cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 100])
+        paths.append(p)
+    out, ok = nl.decode_jpeg_batch(paths, 16)
+    assert ok.all()
+    assert out.shape == (4, 16, 16, 3)
+    assert np.isfinite(out.astype(np.float64)).all()
