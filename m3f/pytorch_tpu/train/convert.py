@@ -90,15 +90,46 @@ def convert_gru(sd: SD, prefix: str, num_layers: int = 1,
 # Whole-model converters
 # ---------------------------------------------------------------------------
 
+def detect_blocks_per_stage(sd: SD, prefix: str = "") -> Tuple[int, ...]:
+    """Infer the stage depths from ``layer{s}.{b}`` keys (18 vs 34 etc.)."""
+    pf = prefix and prefix + "."
+    stages = []
+    s = 1
+    while f"{pf}layer{s}.0.conv1.0.0.weight" in sd:
+        b = 0
+        while f"{pf}layer{s}.{b}.conv1.0.0.weight" in sd:
+            b += 1
+        stages.append(b)
+        s += 1
+    if not stages:
+        raise ValueError(f"no layer{{s}}.{{b}} conv keys under prefix '{prefix}'")
+    return tuple(stages)
+
+
+def detect_gru_layers(sd: SD, prefix: str = "") -> int:
+    """Infer nn.GRU num_layers from ``weight_ih_l{k}`` keys."""
+    k = 0
+    while _k(prefix, f"weight_ih_l{k}") in sd:
+        k += 1
+    if k == 0:
+        raise ValueError(f"no GRU weight keys under prefix '{prefix}'")
+    return k
+
+
 def convert_r2plus1d(sd: SD, prefix: str = "",
-                     blocks_per_stage=(2, 2, 2, 2)) -> Tuple[Dict, Dict]:
+                     blocks_per_stage=None) -> Tuple[Dict, Dict]:
     """torchvision VideoResNet(R(2+1)D) state_dict → R2Plus1D (params, state).
 
     Key schema (torchvision video/resnet.py):
       stem.0 spatial conv, stem.1 BN, stem.3 temporal conv, stem.4 BN
       layer{s}.{b}.conv1.0.0 spatial, .conv1.0.1 BN_mid, .conv1.0.3 temporal,
       .conv1.1 BN;  conv2 likewise;  .downsample.0 conv, .downsample.1 BN
+
+    ``blocks_per_stage=None`` auto-detects the depth from the keys, so
+    depth-18 and depth-34 checkpoints both import without flags.
     """
+    if blocks_per_stage is None:
+        blocks_per_stage = detect_blocks_per_stage(sd, prefix)
     pf = prefix and prefix + "."
     params = {"stem": {}, "blocks": []}
     state = {"stem": {}, "blocks": []}
@@ -148,12 +179,17 @@ def convert_audio_cnn(sd: SD, prefix: str = "", num_stages: int = 4) -> Tuple[Di
 
 
 def convert_m3f(sd: SD, use_audio: bool = True, use_video: bool = True,
-                num_gru_layers: int = 1) -> Tuple[Dict, Dict]:
+                num_gru_layers: int = None) -> Tuple[Dict, Dict]:
     """Full reference-shaped model state_dict → M3F (params, state).
 
     Expects submodule prefixes ``visual.'' (torchvision schema), ``audio.'',
-    ``gru.'' (nn.GRU), ``head.'' (nn.Linear).
+    ``gru.'' (nn.GRU), ``head.'' (nn.Linear).  GRU layer count and backbone
+    depth auto-detect from the keys when not given — a 2-layer-GRU or
+    depth-34 torch checkpoint imports without flags instead of silently
+    dropping layers.
     """
+    if num_gru_layers is None:
+        num_gru_layers = detect_gru_layers(sd, "gru")
     params: Dict = {}
     state: Dict = {}
     if use_video:

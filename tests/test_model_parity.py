@@ -331,3 +331,27 @@ def test_m3f_gradient_parity_training_mode():
             np.testing.assert_allclose(
                 np.asarray(jmap[name]), g64[name], rtol=2e-3, atol=2e-3 * scale,
                 err_msg=f"gradient mismatch at {name}")
+
+
+def test_m3f_two_layer_gru_parity_autodetect():
+    """2-layer BiGRU model imports with NO layer-count flag (convert_m3f
+    auto-detects from weight_ih_l{k} keys) and matches the torch golden."""
+    torch.manual_seed(10)
+    tg = M3FGolden(use_video=False, num_layers=2, per_frame=True,
+                   frames_per_window=16).eval()
+    sd = state_dict_numpy(tg)
+    rng = np.random.RandomState(10)
+    mel = rng.randn(2, 3, 1, 32, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tg(mel=torch.from_numpy(mel)).numpy()
+
+    params, state = convert_m3f(sd, use_video=False)  # layers auto-detected
+    assert len(params["gru"]["layers"]) == 2
+    from m3f.pytorch_tpu.config import GRUConfig
+    cfg = ModelConfig(use_video=False, compute_dtype="float32",
+                      per_frame=True, frames_per_window=16,
+                      gru=GRUConfig(num_layers=2))
+    with highest():
+        got, _ = M3F(cfg).apply(params, state, mel=jnp.asarray(mel[:, :, 0]),
+                                train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
