@@ -120,22 +120,12 @@ def cmd_eval(cfg: ExperimentConfig, args) -> int:
         from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
         state = load_model_checkpoint(state, args.checkpoint)
     ds = make_dataset(cfg, "val")
-    if args.per_video:
-        # per-video CCC rows (debugging which videos drag the mean down)
-        ids = ds.video_ids()
-        if args.max_videos:
-            ids = ids[: args.max_videos]
-        vids = ((vid, ds.load_video(vid)) for vid in ids)
-        vs, as_ = [], []
-        for vid, r in trainer.evaluate_stream(state, vids):
-            print(json.dumps({"video": vid, "ccc_v": r["ccc_v"],
-                              "ccc_a": r["ccc_a"]}))
-            vs.append(r["ccc_v"])
-            as_.append(r["ccc_a"])
-        res = {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
-               "ccc_mean": float((np.mean(vs) + np.mean(as_)) / 2)}
-    else:
-        res = trainer.evaluate(state, ds, max_videos=args.max_videos)
+    # --per-video: one JSON row per video (which videos drag the mean down)
+    row = (lambda vid, r: print(json.dumps(
+        {"video": vid, "ccc_v": r["ccc_v"], "ccc_a": r["ccc_a"]}))
+    ) if args.per_video else None
+    res = trainer.evaluate(state, ds, max_videos=args.max_videos,
+                           per_video_fn=row)
     print(json.dumps(res))
     return 0
 
@@ -164,18 +154,11 @@ def cmd_export(args) -> int:
             raise SystemExit("--format torch requires --checkpoint")
         return load("export_torch_checkpoint").main([args.checkpoint, args.out])
 
-    from m3f.pytorch_tpu.cache import enable_persistent_cache
-    enable_persistent_cache()
-    cfg = build_config(args.preset, args.overrides)
-    mod = load("export_stablehlo")
-    exported, example = mod.build_exported(
-        cfg, args.checkpoint, args.batch,
-        platforms=args.platforms.split(","))
-    with open(args.out, "wb") as f:
-        f.write(exported.serialize())
-    print(f"wrote {args.out}: inputs {[tuple(a.shape) for a in example]}, "
-          f"platforms {exported.platforms}")
-    return 0
+    argv = ["--preset", args.preset, "--batch", str(args.batch),
+            "--platforms", args.platforms, "--out", args.out]
+    if args.checkpoint:
+        argv += ["--checkpoint", args.checkpoint]
+    return load("export_stablehlo").main(argv + list(args.overrides))
 
 
 def cmd_predict(cfg: ExperimentConfig, args) -> int:

@@ -348,8 +348,11 @@ class Trainer:
                 "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1])}
 
     def evaluate(self, state: TrainState, dataset, max_videos: int = 0,
-                 pipeline: int = 2) -> Dict[str, float]:
+                 pipeline: int = 2, per_video_fn=None) -> Dict[str, float]:
         """Mean per-video CCC over a dataset split.
+
+        ``per_video_fn(video_id, result)`` is invoked per video as results
+        drain (e.g. the CLI's --per-video JSON rows).
 
         Keeps ``pipeline`` videos in flight: while the device evaluates
         video i, the host decodes video i+1 and its H2D transfer streams —
@@ -361,7 +364,9 @@ class Trainer:
             ids = ids[:max_videos]
         vs, as_ = [], []
         videos = ((vid, dataset.load_video(vid)) for vid in ids)
-        for _vid, r in self.evaluate_stream(state, videos, pipeline=pipeline):
+        for vid, r in self.evaluate_stream(state, videos, pipeline=pipeline):
+            if per_video_fn is not None:
+                per_video_fn(vid, r)
             vs.append(r["ccc_v"])
             as_.append(r["ccc_a"])
         return {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
