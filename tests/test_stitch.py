@@ -102,3 +102,33 @@ def test_clip():
     out = clip_predictions(p)
     assert out.max() <= 1.0 and out.min() >= -1.0
     np.testing.assert_allclose(out[1], p[1])
+
+
+def test_randomized_coverage_and_framewise_properties():
+    """Randomized sweep over (n, window, stride): every frame covered, stitch
+    weights sum to 1 where covered, and the jit framewise stitch equals a
+    numpy scatter-add oracle (SURVEY §4 'window/stitch indexing properties')."""
+    rng = np.random.RandomState(42)
+    for _ in range(12):
+        window = int(rng.randint(2, 24))
+        n = int(rng.randint(1, 200))
+        stride = int(rng.randint(1, window + 1))
+        starts = window_starts(n, window, stride)
+        assert (starts >= 0).all()
+        L = max(n, window)
+        # coverage
+        cover = np.zeros(L)
+        for s in starts:
+            cover[s:s + window] += 1
+        assert (cover[:n] >= 1).all(), (n, window, stride)
+        # framewise stitch vs numpy oracle
+        preds = rng.randn(len(starts), window, 2).astype(np.float32)
+        got = np.asarray(stitch_framewise(jnp.asarray(preds),
+                                          jnp.asarray(starts), L))
+        acc = np.zeros((L, 2)); cnt = np.zeros(L)
+        for i, s in enumerate(starts):
+            acc[s:s + window] += preds[i]
+            cnt[s:s + window] += 1
+        want = acc / np.maximum(cnt, 1)[:, None]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=str((n, window, stride)))
