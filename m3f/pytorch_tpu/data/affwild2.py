@@ -27,7 +27,6 @@ from __future__ import annotations
 import os
 import wave
 from dataclasses import dataclass
-from functools import lru_cache
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -21,7 +21,7 @@ import ctypes
 import os
 import queue
 import threading
-from typing import Callable, Iterator, List, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ Each layer is a frozen dataclass: hashable, static under jit closure.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np

@@ -19,7 +19,7 @@ a few thousand at most, so the matrix is free compared to the model forward.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 import jax

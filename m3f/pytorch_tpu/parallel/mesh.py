@@ -25,7 +25,7 @@ collectives only appear if the mesh crosses slices.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

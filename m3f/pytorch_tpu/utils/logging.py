@@ -14,7 +14,7 @@ import csv
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 class MetricWriter:
