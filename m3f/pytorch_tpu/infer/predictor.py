@@ -44,6 +44,25 @@ class Predictor:
             from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
             self.state = load_model_checkpoint(self.state, checkpoint)
 
+    def warmup(self, max_frames: int = 1024) -> None:
+        """Pre-compile the eval graph for videos up to ``max_frames``.
+
+        The whole-video eval buckets shapes (frame count to 256s, window
+        count to the mesh-aligned bucket), so one warmup call per bucket
+        removes the multi-second first-request compile from serving paths.
+        Compiles are persisted by the XLA cache, so this is cheap after the
+        first process.
+        """
+        sr, fps = self.cfg.model.mel.sample_rate, self.cfg.data.fps
+        for n in range(256, max_frames + 1, 256):
+            kw = {}
+            if self.cfg.model.use_video:
+                S = self.cfg.data.image_size
+                kw["frames"] = np.zeros((n, S, S, 3), np.uint8)
+            if self.cfg.model.use_audio:
+                kw["waveform"] = np.zeros(int(n / fps * sr) + sr, np.float32)
+            self.predict_video(**kw)
+
     # -- single video -------------------------------------------------------
 
     def _video_dict(self, frames: Optional[np.ndarray],

@@ -82,3 +82,12 @@ def test_predictor_checkpoint_load(tmp_path):
     p = Predictor(cfg=cfg, checkpoint=path)
     out = p.predict_video(waveform=_wav(30, cfg))
     assert np.isfinite(out["pred"]).all()
+
+
+def test_warmup_compiles_buckets_and_reuses():
+    cfg = tiny_cfg(use_video=False)
+    p = Predictor(cfg=cfg)
+    p.warmup(max_frames=512)  # buckets 256 and 512
+    # a video inside a warmed bucket predicts without error and fast paths
+    out = p.predict_video(waveform=_wav(300, cfg))
+    assert np.isfinite(out["pred"]).all()
