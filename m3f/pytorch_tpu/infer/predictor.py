@@ -31,6 +31,11 @@ class Predictor:
     def __init__(self, cfg: Optional[ExperimentConfig] = None,
                  checkpoint: str = "", preset: str = "longseq_eval",
                  overrides: Optional[dict] = None):
+        # serving processes construct Predictor directly (no CLI entry), so
+        # enable the persistent compile cache here — warmup's "cheap after
+        # the first process" depends on it
+        from m3f.pytorch_tpu.cache import enable_persistent_cache
+        enable_persistent_cache()
         from m3f.pytorch_tpu.train.loop import Trainer
 
         if cfg is None:
@@ -60,7 +65,11 @@ class Predictor:
                 S = self.cfg.data.image_size
                 kw["frames"] = np.zeros((n, S, S, 3), np.uint8)
             if self.cfg.model.use_audio:
-                kw["waveform"] = np.zeros(int(n / fps * sr) + sr, np.float32)
+                # exactly n frames' worth: for audio-only models the frame
+                # count derives from the waveform length, and extra headroom
+                # would land in the NEXT bucket, leaving this one cold
+                # (_dispatch_eval pads the tail host-side anyway)
+                kw["waveform"] = np.zeros(int(round(n / fps * sr)), np.float32)
             self.predict_video(**kw)
 
     # -- single video -------------------------------------------------------

@@ -19,7 +19,7 @@ Each layer is a frozen dataclass: hashable, static under jit closure.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 import jax
@@ -222,29 +222,3 @@ def global_avg_pool(x: jnp.ndarray, keep_batch_dims: int = 1) -> jnp.ndarray:
     """Mean over all spatial axes: [N, *spatial, C] → [N, C]."""
     axes = tuple(range(keep_batch_dims, x.ndim - 1))
     return jnp.mean(x, axis=axes)
-
-
-def max_pool(x: jnp.ndarray, window: Sequence[int], strides: Sequence[int],
-             padding="SAME") -> jnp.ndarray:
-    """Channels-last max pool over the spatial dims of [N, *spatial, C]."""
-    nd = len(window)
-    dims = (1,) + tuple(window) + (1,)
-    strd = (1,) + tuple(strides) + (1,)
-    if isinstance(padding, str):
-        pad = padding
-    else:
-        pad = ((0, 0),) + tuple(padding) + ((0, 0),)
-    return jax.lax.reduce_window(x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-                                 jax.lax.max, dims, strd, pad)
-
-
-# ---------------------------------------------------------------------------
-# Pytree utilities
-# ---------------------------------------------------------------------------
-
-def param_count(params: Params) -> int:
-    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-
-
-def cast_tree(tree, dtype):
-    return jax.tree.map(lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)

@@ -61,8 +61,7 @@ def ccc(pred: jnp.ndarray, target: jnp.ndarray,
     # E[(x-mx)(y-my)] with the mask re-applied to the centred products so
     # masked elements do not leak through the (x - mean) terms.
     if axis is None:
-        expand = mu_p  # scalars broadcast fine
-        mu_p_b, mu_t_b = mu_p, mu_t
+        mu_p_b, mu_t_b = mu_p, mu_t  # scalars broadcast fine
     else:
         axes = (axis,) if isinstance(axis, int) else tuple(axis)
         shape = list(pred.shape)

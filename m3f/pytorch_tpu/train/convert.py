@@ -243,13 +243,28 @@ def export_gru(p: Dict, prefix: str, out: Dict[str, Array]):
 
 def export_r2plus1d(params: Dict, state: Dict, prefix: str = "",
                     out: Dict[str, Array] = None,
-                    blocks_per_stage=(2, 2, 2, 2)) -> Dict[str, Array]:
+                    blocks_per_stage=None) -> Dict[str, Array]:
     """R2Plus1D (params, state) → torchvision VideoResNet state_dict arrays.
 
     Inverse of convert_r2plus1d; same key schema, so the result loads into
     ``torchvision.models.video.r2plus1d_18`` (or the golden) directly.
+
+    ``blocks_per_stage=None`` derives the stage boundaries from the params:
+    every stage after the first begins with a projection-shortcut block
+    ("down" present), so depth-18 and depth-34 trees both export with
+    correct ``layer{s}.{b}`` keys (a hardcoded (2,2,2,2) silently scrambled
+    deeper backbones).
     """
     out = {} if out is None else out
+    if blocks_per_stage is None:
+        stages, count = [], 0
+        for i, bp in enumerate(params["blocks"]):
+            if i > 0 and "down" in bp:
+                stages.append(count)
+                count = 0
+            count += 1
+        stages.append(count)
+        blocks_per_stage = tuple(stages)
     pf = prefix and prefix + "."
     export_conv(params["stem"]["conv1"], f"{pf}stem.0", out)
     export_bn(params["stem"]["bn1"], state["stem"]["bn1"], f"{pf}stem.1", out)

@@ -325,7 +325,12 @@ class Trainer:
         if mcfg.use_audio:
             need = int(round(n_frames_pad / self.cfg.data.fps * sr)) + spw
             wav = video["waveform"]
-            kw["wav"] = np.pad(wav, (0, max(0, need - len(wav)))).astype(np.float32)
+            # pad AND truncate to exactly `need`: an audio track longer than
+            # the video (common in real containers) would otherwise give
+            # every video a distinct wav shape — one fresh XLA compile each,
+            # defeating the shape bucketing
+            kw["wav"] = np.pad(wav, (0, max(0, need - len(wav))))[:need] \
+                .astype(np.float32)
         sample_starts = np.round(
             starts_padded / self.cfg.data.fps * sr).astype(np.int32)
         labels_pad = np.full((n_frames_pad, 2), -5.0, np.float32)
@@ -362,6 +367,12 @@ class Trainer:
         ids = dataset.video_ids()
         if max_videos:
             ids = ids[:max_videos]
+        if not ids:
+            # an empty split would yield NaN means that silently poison
+            # best-checkpoint tracking and fake an early stop — fail loudly
+            raise ValueError(
+                "evaluate(): the validation split has no videos — check "
+                "data.root / annotation layout (empty Validation_Set?)")
         vs, as_ = [], []
         videos = ((vid, dataset.load_video(vid)) for vid in ids)
         for vid, r in self.evaluate_stream(state, videos, pipeline=pipeline):

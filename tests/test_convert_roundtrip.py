@@ -30,3 +30,30 @@ def test_m3f_export_convert_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_derives_stage_boundaries():
+    """export_r2plus1d with blocks_per_stage=None must derive the stage
+    layout from the params (projection-shortcut blocks start stages 2+) —
+    the old hardcoded (2,2,2,2) silently scrambled deeper backbones."""
+    import jax
+    from m3f.pytorch_tpu.config import VisualNetConfig
+    from m3f.pytorch_tpu.models.r2plus1d import R2Plus1D
+    from m3f.pytorch_tpu.train.convert import (convert_r2plus1d,
+                                               export_r2plus1d)
+
+    cfg = VisualNetConfig(block_channels=(16, 32), blocks_per_stage=(1, 2),
+                          stem_channels=16, feature_dim=32)
+    params, state = R2Plus1D(cfg).init(jax.random.PRNGKey(0))
+    out = export_r2plus1d(jax.device_get(params), jax.device_get(state))
+    keys = set(out)
+    assert "layer1.0.conv1.0.0.weight" in keys
+    assert "layer2.0.conv1.0.0.weight" in keys
+    assert "layer2.1.conv1.0.0.weight" in keys
+    assert "layer1.1.conv1.0.0.weight" not in keys
+    assert "layer2.0.downsample.0.weight" in keys
+    # and the exported dict re-imports to the identical tree
+    p2, s2 = convert_r2plus1d(out)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        import numpy as np
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
