@@ -25,8 +25,13 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-_SO_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "..",
-                        "native", "loader", "libm3f_loader.so")
+# search order: explicit env override (installed-package deployments where
+# the repo-relative path below doesn't exist), then the in-repo build output
+_SO_CANDIDATES = (
+    os.environ.get("M3F_LOADER_SO", ""),
+    os.path.join(os.path.dirname(__file__), "..", "..", "..",
+                 "native", "loader", "libm3f_loader.so"),
+)
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_checked = False
@@ -37,8 +42,9 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     if _lib_checked:
         return _lib
     _lib_checked = True
-    path = os.path.abspath(_SO_PATH)
-    if not os.path.exists(path):
+    path = next((os.path.abspath(p) for p in _SO_CANDIDATES
+                 if p and os.path.exists(p)), None)
+    if path is None:
         return None
     try:
         lib = ctypes.CDLL(path)
