@@ -31,12 +31,16 @@ def main():
     from m3f.pytorch_tpu.cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
-    from m3f.pytorch_tpu.config import fusion
+    from m3f.pytorch_tpu.config import apply_overrides, fusion
     from m3f.pytorch_tpu.data.windowing import samples_per_window
     from m3f.pytorch_tpu.parallel.mesh import shard_batch
     from m3f.pytorch_tpu.train.loop import Trainer
 
-    cfg = fusion()
+    # TPU-native variant: (2+1)D midplanes rounded to whole 128-lane tiles
+    # (capacity-similar to the torchvision formula; measured +35% over it on
+    # v5e — BOTH numbers in BASELINE.md; the torch-checkpoint-compatible
+    # formula stays the framework default)
+    cfg = apply_overrides(fusion(), {"model.visual.mid_mode": "lane"})
     n_chips = len(jax.devices())
     on_tpu = jax.devices()[0].platform == "tpu"
     # global batch of window-sequences; each example is W windows = W clips
@@ -75,7 +79,7 @@ def main():
     clips_per_sec = iters * B * W / dt
     per_chip = clips_per_sec / n_chips
     print(json.dumps({
-        "metric": "fusion train throughput (16-frame clips/sec/chip)",
+        "metric": "fusion train throughput (16-frame clips/sec/chip, lane-mid tpu variant)",
         "value": round(per_chip, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(per_chip / TORCH_CPU_CLIPS_PER_SEC, 2),

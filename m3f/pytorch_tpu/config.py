@@ -78,6 +78,12 @@ class VisualNetConfig:
     # default), >0 = SE channel-reduction ratio (16 is the SE-Net default).
     # SE blocks always use the XLA conv path.
     se_ratio: int = 0
+    # (2+1)D factorization width: "flops" = torchvision's FLOP-matched
+    # formula (the default — torch-checkpoint-compatible), "lane" = round
+    # each midplane count to the nearest multiple of 128 so stage tensors
+    # fill whole TPU lane tiles (144→128, 230→256, 576→512, ...). A
+    # TPU-native capacity-similar variant — NOT torch-checkpoint-compatible.
+    mid_mode: str = "flops"
     bn_two_pass: bool = False  # torch-order BN variance (see nn.BatchNorm)
 
 
@@ -109,6 +115,10 @@ class ModelConfig:
     # ablation). No parameter shapes change between the two modes, so torch
     # checkpoint compatibility is identical.
     per_frame: bool = True
+    # Train-time dropout rate on the fused features (before the BiGRU) and
+    # on the BiGRU output (before the head) — the reference repo family's
+    # usual placement. 0 = off. UNVERIFIED vs reference.
+    dropout: float = 0.0
     # Output frames per window when no video input pins it (audio-only
     # per-frame mode); with video present L is taken from the input shape.
     frames_per_window: int = 16

@@ -40,6 +40,12 @@ from m3f.pytorch_tpu.models.r2plus1d import R2Plus1D
 from m3f.pytorch_tpu.nn import Dense, Params, State
 
 
+def _dropout(key, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Inverted dropout (torch semantics: scale kept units by 1/(1-p))."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def _upsample_nearest(x: jnp.ndarray, length: int) -> jnp.ndarray:
     """Nearest-neighbor upsample [B, T', C] → [B, length, C].
 
@@ -85,7 +91,8 @@ class M3F:
               video: Optional[jnp.ndarray] = None,
               mel: Optional[jnp.ndarray] = None,
               wav: Optional[jnp.ndarray] = None,
-              train: bool = False) -> Tuple[jnp.ndarray, State]:
+              train: bool = False,
+              rng: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, State]:
         audio, visual, gru, head = self._parts()
         if audio is not None and mel is None and wav is not None:
             # fused on-device frontend — raw [B, W, samples] waveform slices
@@ -136,7 +143,16 @@ class M3F:
             else:
                 feats.append(afeat.reshape(b, w, -1))
         fused = jnp.concatenate(feats, axis=-1)  # [B, W(*L), Dv+Da]
+        drop = train and self.cfg.dropout > 0.0
+        if drop:
+            # dropout on fused features (pre-GRU) and GRU output (pre-head)
+            assert rng is not None, \
+                "model.dropout > 0 needs an rng in train mode"
+            k1, k2 = jax.random.split(rng)
+            fused = _dropout(k1, fused, self.cfg.dropout)
         seq = gru.apply(params["gru"], fused)    # [B, W(*L), 2H]
+        if drop:
+            seq = _dropout(k2, seq, self.cfg.dropout)
         out = head.apply(params["head"], seq.astype(jnp.float32))
         if self.cfg.head_activation == "tanh":
             out = jnp.tanh(out)

@@ -33,9 +33,22 @@ from m3f.pytorch_tpu.nn import (BatchNorm, Conv, Dense, Params, State, relu,
                                 global_avg_pool)
 
 
-def midplanes(in_c: int, out_c: int, t: int = 3, d: int = 3) -> int:
-    """FLOP-matched intermediate width of the (2+1)D factorization."""
-    return (t * d * d * in_c * out_c) // (d * d * in_c + t * out_c)
+def midplanes(in_c: int, out_c: int, t: int = 3, d: int = 3,
+              mode: str = "flops") -> int:
+    """Intermediate width of the (2+1)D factorization.
+
+    ``flops``: torchvision's FLOP-matched formula (checkpoint compatible).
+    ``lane``: that value rounded to the nearest multiple of 128 (min 128) so
+    the mid tensors fill whole TPU lane tiles — a 144-channel stage-1 tensor
+    tiles as 2×128 lanes (56% occupancy); 128 tiles exactly. Measured impact
+    in BASELINE.md.
+    """
+    mid = (t * d * d * in_c * out_c) // (d * d * in_c + t * out_c)
+    if mode == "lane":
+        return max(128, ((mid + 63) // 128) * 128)
+    if mode != "flops":
+        raise ValueError(f"unknown mid_mode {mode!r}")
+    return mid
 
 
 @dataclass(frozen=True)
@@ -106,6 +119,7 @@ class BasicBlock:
     # exactly the torchvision recipe and checkpoint-compatible). >0 = the
     # channel reduction ratio (16 is the SE-Net default).
     se_ratio: int = 0
+    mid_mode: str = "flops"
 
     @property
     def has_downsample(self) -> bool:
@@ -114,7 +128,7 @@ class BasicBlock:
     def _layers(self):
         # ONE midplane count per block, from (in_c, out_c), shared by both
         # convs — the torchvision VideoResNet recipe (checkpoint compat)
-        mid = midplanes(self.in_c, self.out_c)
+        mid = midplanes(self.in_c, self.out_c, mode=self.mid_mode)
         conv1 = Conv2Plus1D(self.in_c, self.out_c, mid, self.stride,
                             bn_two_pass=self.bn_two_pass)
         conv2 = Conv2Plus1D(self.out_c, self.out_c, mid,
@@ -214,7 +228,8 @@ class R2Plus1D:
                 stride = (2, 2, 2) if (si > 0 and bi == 0) else (1, 1, 1)
                 blocks.append(BasicBlock(in_c, out_c, stride,
                                          bn_two_pass=self.cfg.bn_two_pass,
-                                         se_ratio=self.cfg.se_ratio))
+                                         se_ratio=self.cfg.se_ratio,
+                                         mid_mode=self.cfg.mid_mode))
                 in_c = out_c
         return blocks
 

@@ -138,11 +138,11 @@ class Trainer:
 
     # -- steps ------------------------------------------------------------
 
-    def _loss_fn(self, params, bn_state, batch, train: bool):
+    def _loss_fn(self, params, bn_state, batch, train: bool, rng=None):
         preds, new_bn = self.model.apply(
             params, bn_state,
             video=batch.get("video"), wav=batch.get("wav"),
-            mel=batch.get("mel"), train=train)
+            mel=batch.get("mel"), train=train, rng=rng)
         loss_fn = make_loss(self.cfg.train.loss, self.cfg.train.mse_weight)
         loss = loss_fn(preds, batch["labels"], batch["mask"])
         return loss, (new_bn, preds)
@@ -167,9 +167,14 @@ class Trainer:
                     brightness=dcfg.aug_brightness,
                     contrast=dcfg.aug_contrast,
                     compute_dtype=jnp.dtype(self.cfg.model.compute_dtype))
+            # dropout key: deterministic in (seed, step); distinct stream
+            # from the augmentation key above (different fold_in base)
+            rng = (jax.random.fold_in(
+                jax.random.PRNGKey(self.cfg.train.seed ^ 0x5eed), state.step)
+                if self.cfg.model.dropout > 0.0 else None)
             (loss, (new_bn, preds)), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True)(state.params, state.bn_state,
-                                             batch, True)
+                                             batch, True, rng)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             gnorm = optax.global_norm(grads)
