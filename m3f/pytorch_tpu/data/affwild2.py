@@ -68,18 +68,37 @@ def read_annotation_txt(path: str) -> np.ndarray:
 class AffWild2Dataset:
     cfg: DataConfig
     mel: MelConfig
-    split: str = "train"   # "train" | "val"
+    split: str = "train"   # "train" | "val" | "test"
 
     def __post_init__(self):
         self.size = self.cfg.image_size
-        ann_dir = os.path.join(
-            self.cfg.root, "annotations", "VA_Estimation_Challenge",
-            "Train_Set" if self.split == "train" else "Validation_Set")
-        self._ann_dir = ann_dir
+        ann_root = os.path.join(
+            self.cfg.root, "annotations", "VA_Estimation_Challenge")
         self._ids: List[str] = []
-        if os.path.isdir(ann_dir):
-            self._ids = sorted(os.path.splitext(f)[0] for f in os.listdir(ann_dir)
-                               if f.endswith(".txt"))
+        if self.split == "test":
+            # ABAW test distribution: crop dirs WITHOUT annotation txts
+            # (the server holds the labels). Everything under cropped_aligned
+            # that has no Train/Validation annotation is a test video.
+            self._ann_dir = None
+            labeled = set()
+            for s in ("Train_Set", "Validation_Set"):
+                d = os.path.join(ann_root, s)
+                if os.path.isdir(d):
+                    labeled |= {os.path.splitext(f)[0] for f in os.listdir(d)
+                                if f.endswith(".txt")}
+            crops = os.path.join(self.cfg.root, "cropped_aligned")
+            if os.path.isdir(crops):
+                self._ids = sorted(d for d in os.listdir(crops)
+                                   if os.path.isdir(os.path.join(crops, d))
+                                   and d not in labeled)
+        else:
+            self._ann_dir = os.path.join(
+                ann_root,
+                "Train_Set" if self.split == "train" else "Validation_Set")
+            if os.path.isdir(self._ann_dir):
+                self._ids = sorted(
+                    os.path.splitext(f)[0] for f in os.listdir(self._ann_dir)
+                    if f.endswith(".txt"))
 
     def video_ids(self) -> List[str]:
         return self._ids
@@ -95,9 +114,23 @@ class AffWild2Dataset:
         """
         from m3f.pytorch_tpu.data.native_loader import decode_jpeg_batch
 
-        labels = read_annotation_txt(os.path.join(self._ann_dir, video_id + ".txt"))
-        n = len(labels)
-        valid = (labels != INVALID_LABEL).all(axis=1)
+        if self._ann_dir is None:
+            # test split: no labels — frame count comes from the crop dir
+            # (1-based 5-digit numbering; max stem = frame count, so frames
+            # with missing crops in the middle still get timeline slots and
+            # the submission writer interpolates them)
+            crop_dir = self._crop_dir(video_id)
+            stems = [int(os.path.splitext(f)[0])
+                     for f in os.listdir(crop_dir)
+                     if f.endswith(".jpg") and os.path.splitext(f)[0].isdigit()]
+            n = max(stems) if stems else 0
+            labels = np.full((n, 2), INVALID_LABEL, dtype=np.float32)
+            valid = np.ones(n, dtype=bool)
+        else:
+            labels = read_annotation_txt(
+                os.path.join(self._ann_dir, video_id + ".txt"))
+            n = len(labels)
+            valid = (labels != INVALID_LABEL).all(axis=1)
 
         crop_dir = self._crop_dir(video_id)
         # ABAW frame numbering is 1-based, zero-padded to 5 digits

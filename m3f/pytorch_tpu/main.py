@@ -119,7 +119,7 @@ def cmd_eval(cfg: ExperimentConfig, args) -> int:
         # {params,state} npz files (imported reference/torch weights)
         from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
         state = load_model_checkpoint(state, args.checkpoint)
-    ds = make_dataset(cfg, "val")
+    ds = make_dataset(cfg, args.split)
     # --per-video: one JSON row per video (which videos drag the mean down)
     row = (lambda vid, r: print(json.dumps(
         {"video": vid, "ccc_v": r["ccc_v"], "ccc_a": r["ccc_a"]}))
@@ -169,7 +169,7 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
     if args.checkpoint:
         from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
         state = load_model_checkpoint(state, args.checkpoint)
-    ds = make_dataset(cfg, "val")
+    ds = make_dataset(cfg, args.split)
     preds: Dict[str, np.ndarray] = {}
     valids: Dict[str, np.ndarray] = {}
     ids = ds.video_ids()
@@ -192,8 +192,10 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
 def cmd_profile(args) -> int:
     """Summarize a jax.profiler trace directory (device op-time breakdown)."""
     from m3f.pytorch_tpu.utils.profiling import summarize_trace
-    for row in summarize_trace(args.dir, top=args.top):
-        print(f"{row['ms']:10.2f} ms {row['percent']:5.1f}%  {row['op']}")
+    for row in summarize_trace(args.dir, top=args.top, group=not args.full):
+        extra = (f" x{row['count']:<3d} {row['detail']}"
+                 if "detail" in row else "")
+        print(f"{row['ms']:10.2f} ms {row['percent']:5.1f}%  {row['op']}{extra}")
     return 0
 
 
@@ -203,6 +205,9 @@ def main(argv=None) -> int:
     sp = sub.add_parser("profile", help="summarize a profiler trace dir")
     sp.add_argument("dir")
     sp.add_argument("--top", type=int, default=15)
+    sp.add_argument("--full", action="store_true",
+                    help="per-HLO-fusion rows with shape signatures "
+                         "(instead of grouping by op kind)")
     for name in ("train", "eval", "predict"):
         sp = sub.add_parser(name)
         sp.add_argument("--preset", default="fusion", choices=sorted(PRESETS))
@@ -216,6 +221,11 @@ def main(argv=None) -> int:
         else:
             sp.add_argument("--checkpoint", default="")
             sp.add_argument("--max-videos", type=int, default=0)
+            # predict on "test" = ABAW submission videos (crops, no labels);
+            # eval needs labels so test is predict-only
+            sp.add_argument("--split", default="val",
+                            choices=(("train", "val") if name == "eval"
+                                     else ("train", "val", "test")))
         if name == "eval":
             sp.add_argument("--per-video", action="store_true",
                             help="print one JSON row of CCCs per video")

@@ -33,14 +33,17 @@ def trace(profile_dir: str):
         jax.profiler.stop_trace()
 
 
-def summarize_trace(profile_dir: str, top: int = 15) -> List[Dict]:
-    """Summarize a jax.profiler trace: per-op-group device time.
+def summarize_trace(profile_dir: str, top: int = 15,
+                    group: bool = True) -> List[Dict]:
+    """Summarize a jax.profiler trace: device time per op.
 
     Reads the newest ``*.trace.json.gz`` under ``profile_dir`` (written by
-    ``trace()``/``start_trace``) and aggregates device-side op durations,
-    grouping ops by name with trailing ``.N`` indices stripped. Returns a
-    list of {"op", "ms", "percent"} rows, largest first — the same analysis
-    used to find the BatchNorm-statistics bottleneck (BASELINE.md).
+    ``trace()``/``start_trace``) and aggregates device-side op durations.
+    ``group=True`` merges ops by name with trailing ``.N`` indices stripped
+    (the categorical view); ``group=False`` keeps each HLO fusion separate
+    and attaches its shape signature from the trace's ``long_name`` (the
+    view used for the stage-1 lane-padding analysis, BASELINE.md). Returns
+    {"op", "ms", "percent"[, "count", "detail"]} rows, largest first.
     """
     import collections
     import glob
@@ -59,6 +62,8 @@ def summarize_trace(profile_dir: str, top: int = 15) -> List[Dict]:
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in str(e.get("args", {}).get("name", "")).upper()}
     agg = collections.Counter()
+    count = collections.Counter()
+    detail: Dict[str, str] = {}
     total = 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("dur") and e.get("pid") in dev_pids:
@@ -68,10 +73,23 @@ def summarize_trace(profile_dir: str, top: int = 15) -> List[Dict]:
                 continue
             if name.isdigit():
                 continue  # per-step markers
-            agg[re.sub(r"\.\d+$", "", name)] += e["dur"]
+            key = re.sub(r"\.\d+$", "", name) if group else name
+            agg[key] += e["dur"]
+            count[key] += 1
+            if not group and key not in detail:
+                # "%fusion.1 = (bf16[64]{...}, ...) fusion(...)" → keep the
+                # result shapes, drop tiling annotations
+                ln = str(e.get("args", {}).get("long_name", ""))
+                ln = ln.partition(" fusion(")[0].partition(" = ")[2]
+                detail[key] = re.sub(r"\{[^}]*\}", "", ln)[:120]
     total = total or sum(agg.values())
-    rows = [{"op": k, "ms": v / 1e3, "percent": 100.0 * v / total}
-            for k, v in agg.most_common(top)]
+    rows = []
+    for k, v in agg.most_common(top):
+        row = {"op": k, "ms": v / 1e3, "percent": 100.0 * v / total}
+        if not group:
+            row["count"] = count[k]
+            row["detail"] = detail.get(k, "")
+        rows.append(row)
     return rows
 
 

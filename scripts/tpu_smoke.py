@@ -21,12 +21,19 @@ import numpy as np
 
 def smoke_one(name: str) -> dict:
     import jax
-    from m3f.pytorch_tpu.config import PRESETS
+    from m3f.pytorch_tpu.config import PRESETS, apply_overrides
     from m3f.pytorch_tpu.data.windowing import samples_per_window
     from m3f.pytorch_tpu.parallel.mesh import shard_batch
     from m3f.pytorch_tpu.train.loop import Trainer
 
-    cfg = PRESETS[name]()
+    # "<preset>+lane" = same preset with the TPU-native lane-rounded
+    # midplanes variant (visual.mid_mode="lane", BASELINE.md)
+    base, _, variant = name.partition("+")
+    cfg = PRESETS[base]()
+    if variant == "lane":
+        cfg = apply_overrides(cfg, {"model.visual.mid_mode": "lane"})
+    elif variant:
+        raise SystemExit(f"unknown preset variant {variant!r}")
     # modest batch so every preset fits/compiles quickly; mesh = all devices
     cfg = cfg.replace(train=cfg.train.__class__(
         batch_size=2 * len(jax.devices()), mesh=cfg.train.mesh))
@@ -101,7 +108,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="SMOKE.json")
     ap.add_argument("--presets",
-                    default="audio_only,visual_only,fusion,longseq_eval,distributed_train")
+                    default="audio_only,visual_only,fusion,fusion+lane,"
+                            "longseq_eval,distributed_train")
     args = ap.parse_args(argv)
 
     from m3f.pytorch_tpu.cache import enable_persistent_cache

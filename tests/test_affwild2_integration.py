@@ -126,6 +126,28 @@ def test_fake_abaw_end_to_end(tmp_path):
     assert np.isfinite(r["pred"]).all() and (np.abs(r["pred"]) <= 1).all()
     assert np.isfinite(r["ccc_v"]) and np.isfinite(r["ccc_a"])
 
+    # ---- test split: crops-only video (no annotation txt) is discovered,
+    # loads with a label-free timeline, and flows through predict→submission
+    test_crop = os.path.join(root, "cropped_aligned", "video_t")
+    os.makedirs(test_crop)
+    rng = np.random.RandomState(7)
+    for i in range(24):
+        if i == 5:
+            continue  # mid-video crop dropout → interpolated in submission
+        assert cv2.imwrite(os.path.join(test_crop, f"{i + 1:05d}.jpg"),
+                           rng.randint(0, 255, (SIZE, SIZE, 3), dtype=np.uint8))
+    test_ds = AffWild2Dataset(cfg.data, cfg.model.mel, split="test")
+    assert test_ds.video_ids() == ["video_t"]
+    tv = test_ds.load_video("video_t")
+    assert tv["frames"].shape == (24, SIZE, SIZE, 3)
+    assert (tv["labels"] == -5).all()          # label-free
+    assert not tv["valid"][5] and tv["valid"][[0, 4, 6, 23]].all()
+    tp = tr.evaluate_video(state, tv)["pred"]
+    out_t = str(tmp_path / "submission_test")
+    write_submission(out_t, {"video_t": tp}, {"video_t": tv["valid"]})
+    t_lines = open(os.path.join(out_t, "video_t.txt")).read().strip().splitlines()
+    assert len(t_lines) == 24 + 1
+
     # ---- submission writer over the val split
     val = AffWild2Dataset(cfg.data, cfg.model.mel, split="val")
     preds, valids = {}, {}
