@@ -45,9 +45,21 @@ class Predictor:
         self.cfg = cfg
         self.trainer = Trainer(cfg)
         self.state = self.trainer.init_state()
+        self._fwd = None                      # cached jitted group forward
         if checkpoint:
             from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
             self.state = load_model_checkpoint(self.state, checkpoint)
+
+    def _eval_forward(self):
+        if self._fwd is None:
+            self._fwd = self.trainer.make_eval_forward()
+        return self._fwd
+
+    def stream(self) -> "StreamingSession":
+        """Open an ONLINE inference session: push frames/audio as they
+        arrive, receive per-frame (valence, arousal) with bounded latency.
+        See StreamingSession."""
+        return StreamingSession(self)
 
     def warmup(self, max_frames: int = 1024) -> None:
         """Pre-compile the eval graph for videos up to ``max_frames``.
@@ -127,3 +139,167 @@ class Predictor:
         for vid, r in self.trainer.evaluate_stream(self.state, prepared,
                                                    pipeline=pipeline):
             yield vid, postprocess(r["pred"], smooth_window=smooth_window)
+
+
+class StreamingSession:
+    """Online per-frame inference over a GROWING stream (live serving).
+
+    The offline path needs the whole video before it predicts; a streaming
+    session instead accepts frames/audio incrementally and emits each
+    frame's (valence, arousal) as soon as no future window can still cover
+    it — worst-case latency ≈ (W−1)·stride + window_frames frames
+    (`latency_frames`), ~2.7 s of video at the longseq_eval defaults.
+
+    Semantics are EXACTLY the offline stitcher's (same window grid, same
+    W-window GRU grouping, same overlap averaging + clip — asserted equal
+    in tests): windows are processed in groups of ``windows_per_clip``
+    through ONE fixed-shape jitted forward (a single compile reused for the
+    whole session), and the scatter-add stitch runs host-side since it
+    touches only the handful of frames per group.
+
+        sess = predictor.stream()
+        for frames_chunk, audio_chunk in capture():
+            start, preds = sess.push(frames=frames_chunk, waveform=audio_chunk)
+            emit(start, preds)                  # [k, 2], possibly empty
+        start, preds = sess.flush()             # tail windows, final frames
+    """
+
+    def __init__(self, predictor: Predictor):
+        cfg = predictor.cfg
+        assert cfg.model.per_frame, "streaming needs per-frame predictions"
+        self.p = predictor
+        self.use_video = cfg.model.use_video
+        self.use_audio = cfg.model.use_audio
+        self.W = cfg.window.windows_per_clip
+        self.L = cfg.window.window_frames
+        self.stride = cfg.window.eval_stride
+        self.S = cfg.data.image_size
+        self.fps = cfg.data.fps
+        self.sr = cfg.model.mel.sample_rate
+        from m3f.pytorch_tpu.data.windowing import samples_per_window
+        self.spw = samples_per_window(cfg.model.mel,
+                                      cfg.model.audio.mel_frames_per_window)
+        self._fwd = predictor._eval_forward()
+        self._frames: Optional[np.ndarray] = (
+            np.zeros((0, self.S, self.S, 3), np.uint8) if self.use_video
+            else None)
+        self._wav = np.zeros((0,), np.float32)
+        self._nwin = 0                      # grid windows processed so far
+        self._num = np.zeros((0, 2), np.float32)   # stitch accumulators
+        self._den = np.zeros((0,), np.float32)
+        self._emitted = 0
+        self._flushed = False
+
+    @property
+    def latency_frames(self) -> int:
+        return (self.W - 1) * self.stride + self.L
+
+    def _n_frames(self) -> int:
+        if self.use_video:
+            return len(self._frames)
+        return int(round(len(self._wav) / self.sr * self.fps))
+
+    def _sample_start(self, start: int) -> int:
+        return int(round(start / self.fps * self.sr))
+
+    def _window_ready(self, k: int) -> bool:
+        start = k * self.stride
+        if start + self.L > self._n_frames():
+            return False
+        if self.use_audio and \
+                self._sample_start(start) + self.spw > len(self._wav):
+            return False
+        return True
+
+    def _run_group(self, starts: np.ndarray, win_valid: np.ndarray,
+                   frames: Optional[np.ndarray], wav: np.ndarray) -> None:
+        """Forward one W-window group and scatter into the accumulators."""
+        feed = {}
+        if self.use_video:
+            idx = starts[:, None] + np.arange(self.L)[None, :]
+            feed["video"] = frames[idx][None]              # [1, W, L, S, S, 3]
+        if self.use_audio:
+            sidx = (np.asarray([self._sample_start(s) for s in starts])[:, None]
+                    + np.arange(self.spw)[None, :])
+            feed["wav"] = wav[sidx][None].astype(np.float32)   # [1, W, spw]
+        preds = np.asarray(
+            self._fwd(self.p.state.params, self.p.state.bn_state, feed),
+            np.float32)[0]                                 # [W, L, 2]
+        hi = int(starts.max()) + self.L
+        if hi > len(self._num):
+            grow = hi - len(self._num)
+            self._num = np.concatenate(
+                [self._num, np.zeros((grow, 2), np.float32)])
+            self._den = np.concatenate(
+                [self._den, np.zeros((grow,), np.float32)])
+        for w in range(self.W):
+            if not win_valid[w]:
+                continue
+            f0 = int(starts[w])
+            self._num[f0:f0 + self.L] += preds[w]
+            self._den[f0:f0 + self.L] += 1.0
+
+    def _emit(self, hi: int) -> Tuple[int, np.ndarray]:
+        lo = self._emitted
+        hi = max(hi, lo)
+        out = self._num[lo:hi] / np.maximum(self._den[lo:hi, None], 1.0)
+        self._emitted = hi
+        return lo, np.clip(out, -1.0, 1.0)
+
+    def push(self, frames: Optional[np.ndarray] = None,
+             waveform: Optional[np.ndarray] = None) -> Tuple[int, np.ndarray]:
+        """Append stream data; returns (first_frame_index, preds [k, 2])
+        for the frames finalized by this push (k may be 0)."""
+        assert not self._flushed, "session already flushed"
+        if frames is not None:
+            assert self.use_video, "audio-only model: push waveform only"
+            self._frames = np.concatenate(
+                [self._frames, np.ascontiguousarray(frames, np.uint8)])
+        if waveform is not None:
+            self._wav = np.concatenate(
+                [self._wav, np.asarray(waveform, np.float32)])
+        # process every complete group of W grid windows
+        while all(self._window_ready(self._nwin + i) for i in range(self.W)):
+            starts = (self._nwin + np.arange(self.W)) * self.stride
+            self._run_group(starts.astype(np.int64),
+                            np.ones(self.W, bool), self._frames, self._wav)
+            self._nwin += self.W
+        if self._nwin == 0:
+            return self._emitted, np.zeros((0, 2), np.float32)
+        # a future window (grid or the flush-time clamped tail) starts
+        # strictly after (nwin-1)*stride, so frames up to there are final
+        return self._emit((self._nwin - 1) * self.stride + 1)
+
+    def flush(self) -> Tuple[int, np.ndarray]:
+        """End of stream: process tail windows (incl. the clamped tail the
+        offline grid uses) and return all remaining frames' predictions."""
+        assert not self._flushed, "session already flushed"
+        self._flushed = True
+        n = self._n_frames()
+        if n == 0:
+            return self._emitted, np.zeros((0, 2), np.float32)
+        from m3f.pytorch_tpu.ops.stitch import window_starts
+        starts_full = window_starts(n, self.L, self.stride).astype(np.int64)
+        rem = starts_full[self._nwin:]
+        if len(rem):
+            # pad the final partial group exactly like the offline path:
+            # repeat the last start with win_valid False (padded windows sit
+            # inside the same GRU group, so they must be present, not absent)
+            n_pad = -(-len(rem) // self.W) * self.W
+            win_valid = np.arange(n_pad) < len(rem)
+            rem = np.concatenate([rem, np.repeat(rem[-1:], n_pad - len(rem))])
+            hi_frame = int(rem.max()) + self.L
+            frames = self._frames
+            if self.use_video and hi_frame > len(frames):
+                frames = np.concatenate([frames, np.zeros(
+                    (hi_frame - len(frames), self.S, self.S, 3), np.uint8)])
+            wav = self._wav
+            if self.use_audio:
+                need = self._sample_start(int(rem.max())) + self.spw
+                if need > len(wav):
+                    wav = np.concatenate(
+                        [wav, np.zeros(need - len(wav), np.float32)])
+            for g in range(0, len(rem), self.W):
+                self._run_group(rem[g:g + self.W], win_valid[g:g + self.W],
+                                frames, wav)
+        return self._emit(n)

@@ -91,3 +91,80 @@ def test_warmup_compiles_buckets_and_reuses():
     # a video inside a warmed bucket predicts without error and fast paths
     out = p.predict_video(waveform=_wav(300, cfg))
     assert np.isfinite(out["pred"]).all()
+
+
+# -- streaming (online) inference -------------------------------------------
+
+def _f32(cfg):
+    """fp32 compute so streaming-vs-offline equality is exact on CPU."""
+    import dataclasses
+    return cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype="float32"))
+
+
+def test_streaming_matches_offline_fusion():
+    cfg = _f32(tiny_cfg(use_video=True))
+    S = cfg.data.image_size
+    n = 52
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (n, S, S, 3), dtype=np.uint8)
+    wav = _wav(n, cfg, seed=3)
+    p = Predictor(cfg=cfg)
+    offline = p.predict_video(frames=frames, waveform=wav)["pred"]
+
+    sess = p.stream()
+    got, emitted_before_flush = [], 0
+    fchunk, achunk = 7, int(7 / cfg.data.fps * cfg.model.mel.sample_rate)
+    fi = ai = 0
+    while fi < n:
+        lo, preds = sess.push(frames=frames[fi:fi + fchunk],
+                              waveform=wav[ai:ai + achunk])
+        assert lo == sum(len(g) for g in got)   # contiguous emission
+        got.append(preds)
+        fi += fchunk
+        ai += achunk
+    emitted_before_flush = sum(len(g) for g in got)
+    lo, preds = sess.push(waveform=wav[ai:])    # remaining audio tail
+    got.append(preds)
+    lo, preds = sess.flush()
+    got.append(preds)
+    stream_pred = np.concatenate(got)
+
+    assert emitted_before_flush > 0             # online, not batch-at-end
+    assert stream_pred.shape == (n, 2)
+    np.testing.assert_allclose(stream_pred, offline, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(AssertionError):
+        sess.push(frames=frames[:1])            # flushed session is closed
+
+
+def test_streaming_matches_offline_audio_only():
+    cfg = _f32(tiny_cfg(use_video=False))
+    wav = _wav(40, cfg, seed=5)
+    p = Predictor(cfg=cfg)
+    offline = p.predict_video(waveform=wav)["pred"]
+
+    sess = p.stream()
+    got = []
+    for i in range(0, len(wav), 4000):
+        got.append(sess.push(waveform=wav[i:i + 4000])[1])
+    got.append(sess.flush()[1])
+    stream_pred = np.concatenate(got)
+    assert stream_pred.shape == offline.shape
+    np.testing.assert_allclose(stream_pred, offline, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_short_video_single_flush():
+    # shorter than one window: everything arrives at flush via the padded tail
+    cfg = _f32(tiny_cfg(use_video=True))
+    S = cfg.data.image_size
+    frames = np.random.RandomState(0).randint(0, 256, (9, S, S, 3),
+                                              dtype=np.uint8)
+    wav = _wav(9, cfg)
+    p = Predictor(cfg=cfg)
+    offline = p.predict_video(frames=frames, waveform=wav)["pred"]
+    sess = p.stream()
+    _, a = sess.push(frames=frames, waveform=wav)
+    assert len(a) == 0
+    _, b = sess.flush()
+    np.testing.assert_allclose(b, offline, rtol=1e-5, atol=1e-5)
