@@ -154,6 +154,26 @@ def test_streaming_matches_offline_audio_only():
     np.testing.assert_allclose(stream_pred, offline, rtol=1e-5, atol=1e-5)
 
 
+def test_streaming_random_chunking_property():
+    # arbitrary (even pathological) push chunkings all reproduce offline
+    cfg = _f32(tiny_cfg(use_video=False))
+    p = Predictor(cfg=cfg)
+    for seed in range(3):
+        rng = np.random.RandomState(100 + seed)
+        wav = _wav(20 + 15 * seed, cfg, seed=seed)
+        offline = p.predict_video(waveform=wav)["pred"]
+        sess = p.stream()
+        got, i = [], 0
+        while i < len(wav):
+            k = int(rng.randint(1, 6000))
+            got.append(sess.push(waveform=wav[i:i + k])[1])
+            i += k
+        got.append(sess.flush()[1])
+        np.testing.assert_allclose(np.concatenate(got), offline,
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"seed {seed}")
+
+
 def test_streaming_short_video_single_flush():
     # shorter than one window: everything arrives at flush via the padded tail
     cfg = _f32(tiny_cfg(use_video=True))

@@ -112,3 +112,36 @@ def test_stablehlo_export_roundtrip(tmp_path):
                                   train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_average_checkpoints(tmp_path):
+    """SWA tool: mean of two TrainState checkpoints, loadable for eval."""
+    import importlib.util
+    import jax
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_train_integration import tiny_audio_cfg
+    from m3f.pytorch_tpu.train.checkpoint import (Checkpointer,
+                                                  load_model_checkpoint)
+    from m3f.pytorch_tpu.train.loop import Trainer
+
+    cfg = tiny_audio_cfg(ckpt_dir=str(tmp_path))
+    tr = Trainer(cfg)
+    s0 = jax.device_get(tr.init_state(seed=0))
+    s1 = jax.device_get(tr.init_state(seed=1))
+    ck = Checkpointer(str(tmp_path), keep=5, cfg=cfg)
+    p0 = ck.save(s0)
+    p1 = ck.save(s1._replace(step=s1.step + 1))
+
+    out = str(tmp_path / "avg.npz")
+    spec = importlib.util.spec_from_file_location(
+        "avg", os.path.join(REPO, "scripts", "average_checkpoints.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main([p0, p1, "--out", out]) == 0
+
+    got = load_model_checkpoint(tr.init_state(seed=2), out)
+    want = jax.tree.map(lambda a, b:
+                        (np.asarray(a, np.float64) + np.asarray(b, np.float64)) / 2,
+                        s0.params, s1.params)
+    for g, w in zip(jax.tree.leaves(got.params), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6, atol=1e-7)
