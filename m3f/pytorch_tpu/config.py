@@ -214,6 +214,12 @@ class TrainConfig:
     debug_nans: bool = False      # jax_debug_nans during development (SURVEY §5)
     loss: str = "ccc"             # "ccc" | "mse" | "ccc+mse" (SURVEY §2.1 C7)
     mse_weight: float = 1.0       # weight of the MSE term in "ccc+mse"
+    # CCC-loss moment computation: "two_pass" (subtract-the-mean, the torch
+    # golden's order) | "one_pass" (sufficient statistics — identical math,
+    # and a ~7x faster cold program load for conv+GRU+CCC graphs on the
+    # remote TPU backend; see ops/ccc.py and BASELINE.md). Excluded from the
+    # semantic config hash.
+    ccc_stats: str = "two_pass"
     optim: OptimConfig = field(default_factory=OptimConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 

@@ -278,6 +278,10 @@ class StreamingSession:
         n = self._n_frames()
         if n == 0:
             return self._emitted, np.zeros((0, 2), np.float32)
+        # mirror the offline API's strictness: an audio-consuming model with
+        # zero pushed audio would silently predict on silence
+        assert not (self.use_audio and len(self._wav) == 0), \
+            "model uses audio but no waveform was pushed"
         from m3f.pytorch_tpu.ops.stitch import window_starts
         starts_full = window_starts(n, self.L, self.stride).astype(np.int64)
         rem = starts_full[self._nwin:]

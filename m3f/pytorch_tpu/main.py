@@ -40,6 +40,10 @@ from m3f.pytorch_tpu.train.loop import Trainer
 from m3f.pytorch_tpu.utils.logging import MetricWriter
 
 
+# base presets plus the "+lane" TPU-native variant of each
+_PRESET_CHOICES = sorted(PRESETS) + [p + "+lane" for p in sorted(PRESETS)]
+
+
 def _parse_value(s: str):
     try:
         return json.loads(s)
@@ -48,7 +52,15 @@ def _parse_value(s: str):
 
 
 def build_config(preset: str, overrides: List[str]) -> ExperimentConfig:
-    cfg = PRESETS[preset]()
+    # "<preset>+lane" = the TPU-native lane-rounded-midplanes variant
+    # (visual.mid_mode="lane", +35% train throughput, BASELINE.md; not
+    # torch-checkpoint-compatible). Same syntax as scripts/tpu_smoke.py.
+    base, _, variant = preset.partition("+")
+    cfg = PRESETS[base]()
+    if variant == "lane":
+        cfg = apply_overrides(cfg, {"model.visual.mid_mode": "lane"})
+    elif variant:
+        raise SystemExit(f"unknown preset variant '+{variant}' (know: +lane)")
     kv = {}
     for o in overrides:
         if "=" not in o:
@@ -210,7 +222,7 @@ def main(argv=None) -> int:
                          "(instead of grouping by op kind)")
     for name in ("train", "eval", "predict"):
         sp = sub.add_parser(name)
-        sp.add_argument("--preset", default="fusion", choices=sorted(PRESETS))
+        sp.add_argument("--preset", default="fusion", choices=_PRESET_CHOICES)
         sp.add_argument("overrides", nargs="*", help="dotted key=value config overrides")
         if name == "train":
             sp.add_argument("--no-eval", action="store_true",
@@ -234,7 +246,7 @@ def main(argv=None) -> int:
             sp.add_argument("--smooth", type=int, default=1,
                             help="moving-average smoothing window (frames)")
     sp = sub.add_parser("export", help="export weights / serving artifacts")
-    sp.add_argument("--preset", default="fusion", choices=sorted(PRESETS))
+    sp.add_argument("--preset", default="fusion", choices=_PRESET_CHOICES)
     sp.add_argument("--checkpoint", default="", help="TrainState or imported npz")
     sp.add_argument("--format", choices=("torch", "stablehlo"), required=True,
                     help="torch: reference-schema state_dict npz; "

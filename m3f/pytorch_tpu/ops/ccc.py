@@ -20,9 +20,17 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import numpy as np
 import jax.numpy as jnp
 
 Axis = Union[None, int, Sequence[int]]
+
+
+def _norm_axes(axis: Axis, ndim: int):
+    if axis is None:
+        return tuple(range(ndim))
+    axes = (axis,) if isinstance(axis, int) else tuple(axis)
+    return tuple(a % ndim for a in axes)
 
 
 def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: Axis,
@@ -42,7 +50,7 @@ def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: Axis,
 
 def ccc(pred: jnp.ndarray, target: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None, axis: Axis = None,
-        eps: float = 1e-8) -> jnp.ndarray:
+        eps: float = 1e-8, one_pass: bool = False) -> jnp.ndarray:
     """Concordance correlation coefficient reduced over ``axis``.
 
     Args:
@@ -53,9 +61,33 @@ def ccc(pred: jnp.ndarray, target: jnp.ndarray,
         batch-CCC per output channel, pass ``axis=(0, 1)``.
       eps: denominator guard; a constant pair (zero variance, equal means)
         yields CCC → 0 rather than NaN.
+      one_pass: compute moments from sufficient statistics
+        (Σx, Σy, Σx², Σy², Σxy in ONE reduction sweep, var = E[x²]−E[x]²)
+        instead of the default subtract-the-mean two-pass. Algebraically
+        identical; for labels/preds in [-1, 1] the fp32 rounding difference
+        is ≤1e-6. Exists because the two-pass reduce→broadcast→re-reduce
+        chain triggers a pathological multi-minute program load on the
+        remote TPU backend when it shares a program with a conv stack and a
+        GRU scan (audio-only train step; measured 450→61 s, BASELINE.md).
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
+    if one_pass:
+        if mask is None:
+            cnt = jnp.asarray(np.prod([pred.shape[a] for a in
+                                       _norm_axes(axis, pred.ndim)]),
+                              jnp.float32)
+            sum_ = lambda v: jnp.sum(v, axis=axis)
+        else:
+            m = jnp.broadcast_to(mask.astype(jnp.float32), pred.shape)
+            cnt = jnp.maximum(jnp.sum(m, axis=axis), 1e-12)
+            sum_ = lambda v: jnp.sum(v * m, axis=axis)
+        mu_p = sum_(pred) / cnt
+        mu_t = sum_(target) / cnt
+        cov = sum_(pred * target) / cnt - mu_p * mu_t
+        var_p = sum_(pred * pred) / cnt - mu_p * mu_p
+        var_t = sum_(target * target) / cnt - mu_t * mu_t
+        return 2.0 * cov / (var_p + var_t + (mu_p - mu_t) ** 2 + eps)
     mu_p = masked_mean(pred, mask, axis)
     mu_t = masked_mean(target, mask, axis)
     # E[(x-mx)(y-my)] with the mask re-applied to the centred products so
@@ -78,7 +110,8 @@ def ccc(pred: jnp.ndarray, target: jnp.ndarray,
 
 
 def ccc_loss(pred: jnp.ndarray, target: jnp.ndarray,
-             mask: Optional[jnp.ndarray] = None, eps: float = 1e-8) -> jnp.ndarray:
+             mask: Optional[jnp.ndarray] = None, eps: float = 1e-8,
+             one_pass: bool = False) -> jnp.ndarray:
     """Training loss: ``1 − mean_over_outputs(CCC)``.
 
     ``pred``/``target``: [..., num_outputs] (trailing dim = (valence, arousal));
@@ -89,7 +122,8 @@ def ccc_loss(pred: jnp.ndarray, target: jnp.ndarray,
     sample_axes = tuple(range(pred.ndim - 1))
     if mask is not None and mask.ndim == pred.ndim - 1:
         mask = mask[..., None]
-    per_output = ccc(pred, target, mask=mask, axis=sample_axes, eps=eps)
+    per_output = ccc(pred, target, mask=mask, axis=sample_axes, eps=eps,
+                     one_pass=one_pass)
     return 1.0 - jnp.mean(per_output)
 
 
@@ -107,15 +141,23 @@ def mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
     return masked_mean(err, mask, axis=None)
 
 
-def make_loss(kind: str, mse_weight: float = 1.0):
-    """Loss factory for TrainConfig.loss: "ccc" | "mse" | "ccc+mse"."""
+def make_loss(kind: str, mse_weight: float = 1.0, ccc_stats: str = "two_pass"):
+    """Loss factory for TrainConfig.loss: "ccc" | "mse" | "ccc+mse".
+
+    ``ccc_stats``: "two_pass" (default) | "one_pass" — identical math, see
+    ``ccc(one_pass=...)``.
+    """
+    if ccc_stats not in ("two_pass", "one_pass"):
+        raise ValueError(f"unknown ccc_stats '{ccc_stats}'")
+    one = ccc_stats == "one_pass"
     if kind == "ccc":
-        return ccc_loss
+        return lambda pred, target, mask=None: ccc_loss(
+            pred, target, mask, one_pass=one)
     if kind == "mse":
         return mse_loss
     if kind == "ccc+mse":
         def combined(pred, target, mask=None):
-            return (ccc_loss(pred, target, mask)
+            return (ccc_loss(pred, target, mask, one_pass=one)
                     + mse_weight * mse_loss(pred, target, mask))
         return combined
     raise ValueError(f"unknown loss '{kind}' (ccc | mse | ccc+mse)")

@@ -143,7 +143,8 @@ class Trainer:
             params, bn_state,
             video=batch.get("video"), wav=batch.get("wav"),
             mel=batch.get("mel"), train=train, rng=rng)
-        loss_fn = make_loss(self.cfg.train.loss, self.cfg.train.mse_weight)
+        loss_fn = make_loss(self.cfg.train.loss, self.cfg.train.mse_weight,
+                            self.cfg.train.ccc_stats)
         loss = loss_fn(preds, batch["labels"], batch["mask"])
         return loss, (new_bn, preds)
 

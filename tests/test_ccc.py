@@ -136,3 +136,38 @@ def test_make_loss_variants():
     import pytest
     with pytest.raises(ValueError):
         make_loss("huber")
+
+
+def test_ccc_one_pass_equals_two_pass():
+    """one_pass sufficient-statistics CCC == the two-pass default (same math;
+    exists as a TPU cold-program-load workaround, see ops/ccc.py)."""
+    from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss, make_loss
+
+    rng = np.random.RandomState(7)
+    pred = jnp.asarray(rng.uniform(-1, 1, (4, 6, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(-1, 1, (4, 6, 2)).astype(np.float32))
+    mask = jnp.asarray(rng.rand(4, 6) > 0.3)
+
+    for m in (None, mask[..., None]):
+        for ax in (None, (0, 1)):
+            a = np.asarray(ccc(pred, target, mask=m, axis=ax))
+            b = np.asarray(ccc(pred, target, mask=m, axis=ax, one_pass=True))
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    a = float(ccc_loss(pred, target, mask))
+    b = float(make_loss("ccc", ccc_stats="one_pass")(pred, target, mask))
+    assert np.isclose(a, b, rtol=1e-5, atol=1e-6)
+    # all-masked stays finite in one_pass too
+    z = float(make_loss("ccc", ccc_stats="one_pass")(
+        pred, target, jnp.zeros((4, 6), bool)))
+    assert np.isfinite(z)
+    import pytest
+    with pytest.raises(ValueError):
+        make_loss("ccc", ccc_stats="three_pass")
+
+
+def test_ccc_stats_excluded_from_config_hash():
+    from m3f.pytorch_tpu.config import ExperimentConfig, apply_overrides
+    cfg = ExperimentConfig()
+    one = apply_overrides(cfg, {"train.ccc_stats": "one_pass"})
+    assert cfg.config_hash() == one.config_hash()   # identical-math knob
