@@ -124,6 +124,22 @@ class AffWild2Dataset:
                      for f in os.listdir(crop_dir)
                      if f.endswith(".jpg") and os.path.splitext(f)[0].isdigit()]
             n = max(stems) if stems else 0
+            # crop dropout at the END of the video (face leaves the frame)
+            # would silently shorten the submission; when the raw container
+            # is present under <root>/videos/, trust ITS frame count — the
+            # extra label-free tail frames get interpolated predictions
+            for ext in (".mp4", ".avi", ".mkv"):
+                vp = os.path.join(self.cfg.root, "videos", video_id + ext)
+                if os.path.exists(vp):
+                    try:
+                        import cv2
+                        cap = cv2.VideoCapture(vp)
+                        if cap.isOpened():
+                            n = max(n, int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+                        cap.release()
+                    except Exception:
+                        pass
+                    break
             labels = np.full((n, 2), INVALID_LABEL, dtype=np.float32)
             valid = np.ones(n, dtype=bool)
         else:

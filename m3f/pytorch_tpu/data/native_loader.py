@@ -25,13 +25,9 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-# search order: explicit env override (installed-package deployments where
-# the repo-relative path below doesn't exist), then the in-repo build output
-_SO_CANDIDATES = (
-    os.environ.get("M3F_LOADER_SO", ""),
-    os.path.join(os.path.dirname(__file__), "..", "..", "..",
-                 "native", "loader", "libm3f_loader.so"),
-)
+# fallback when M3F_LOADER_SO is unset: the in-repo build output
+_REPO_SO = os.path.join(os.path.dirname(__file__), "..", "..", "..",
+                        "native", "loader", "libm3f_loader.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_checked = False
@@ -42,7 +38,15 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     if _lib_checked:
         return _lib
     _lib_checked = True
-    path = next((os.path.abspath(p) for p in _SO_CANDIDATES
+    # env read here (not at import) so setting it after import still works;
+    # an explicit override that doesn't exist is a deployment mistake the
+    # user asked us to use — warn instead of silently falling back to cv2
+    override = os.environ.get("M3F_LOADER_SO", "")
+    if override and not os.path.exists(override):
+        print(f"WARNING: M3F_LOADER_SO={override} does not exist; "
+              f"falling back to the in-repo loader / cv2", flush=True)
+        override = ""
+    path = next((os.path.abspath(p) for p in (override, _REPO_SO)
                  if p and os.path.exists(p)), None)
     if path is None:
         return None

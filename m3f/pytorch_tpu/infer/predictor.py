@@ -83,6 +83,20 @@ class Predictor:
                 # (_dispatch_eval pads the tail host-side anyway)
                 kw["waveform"] = np.zeros(int(round(n / fps * sr)), np.float32)
             self.predict_video(**kw)
+        if self.cfg.model.per_frame:
+            # streaming sessions use a DIFFERENT jit (the fixed-shape
+            # [1, W, ...] group forward) — pre-compile it too, or the first
+            # completed window group of a live stream stalls mid-capture
+            sess = self.stream()
+            W, L = sess.W, sess.L
+            n = (W - 1) * sess.stride + L
+            if self.cfg.model.use_video:
+                S = self.cfg.data.image_size
+                sess.push(frames=np.zeros((n, S, S, 3), np.uint8))
+            if self.cfg.model.use_audio:
+                sess.push(waveform=np.zeros(
+                    sess._sample_start(n) + sess.spw, np.float32))
+            sess.flush()
 
     # -- single video -------------------------------------------------------
 
@@ -180,13 +194,19 @@ class StreamingSession:
         self.spw = samples_per_window(cfg.model.mel,
                                       cfg.model.audio.mel_frames_per_window)
         self._fwd = predictor._eval_forward()
+        # buffers are TRIMMED as data is consumed (a live session must run
+        # for hours at O(latency) memory, not O(stream)); _f0/_s0/_a0 are
+        # the absolute frame/sample/frame indices of each buffer's start
         self._frames: Optional[np.ndarray] = (
             np.zeros((0, self.S, self.S, 3), np.uint8) if self.use_video
             else None)
+        self._f0 = 0
         self._wav = np.zeros((0,), np.float32)
+        self._s0 = 0
         self._nwin = 0                      # grid windows processed so far
         self._num = np.zeros((0, 2), np.float32)   # stitch accumulators
         self._den = np.zeros((0,), np.float32)
+        self._a0 = 0
         self._emitted = 0
         self._flushed = False
 
@@ -196,8 +216,8 @@ class StreamingSession:
 
     def _n_frames(self) -> int:
         if self.use_video:
-            return len(self._frames)
-        return int(round(len(self._wav) / self.sr * self.fps))
+            return self._f0 + len(self._frames)
+        return int(round((self._s0 + len(self._wav)) / self.sr * self.fps))
 
     def _sample_start(self, start: int) -> int:
         return int(round(start / self.fps * self.sr))
@@ -207,25 +227,31 @@ class StreamingSession:
         if start + self.L > self._n_frames():
             return False
         if self.use_audio and \
-                self._sample_start(start) + self.spw > len(self._wav):
+                self._sample_start(start) + self.spw > self._s0 + len(self._wav):
             return False
         return True
 
     def _run_group(self, starts: np.ndarray, win_valid: np.ndarray,
-                   frames: Optional[np.ndarray], wav: np.ndarray) -> None:
-        """Forward one W-window group and scatter into the accumulators."""
+                   frames: Optional[np.ndarray], f_base: int,
+                   wav: np.ndarray, s_base: int) -> None:
+        """Forward one W-window group and scatter into the accumulators.
+
+        ``starts`` are ABSOLUTE frame indices; ``frames``/``wav`` start at
+        absolute frame ``f_base`` / sample ``s_base``.
+        """
         feed = {}
         if self.use_video:
-            idx = starts[:, None] + np.arange(self.L)[None, :]
+            idx = (starts[:, None] - f_base) + np.arange(self.L)[None, :]
             feed["video"] = frames[idx][None]              # [1, W, L, S, S, 3]
         if self.use_audio:
-            sidx = (np.asarray([self._sample_start(s) for s in starts])[:, None]
+            sidx = (np.asarray([self._sample_start(s) - s_base
+                                for s in starts])[:, None]
                     + np.arange(self.spw)[None, :])
             feed["wav"] = wav[sidx][None].astype(np.float32)   # [1, W, spw]
         preds = np.asarray(
             self._fwd(self.p.state.params, self.p.state.bn_state, feed),
             np.float32)[0]                                 # [W, L, 2]
-        hi = int(starts.max()) + self.L
+        hi = int(starts.max()) + self.L - self._a0
         if hi > len(self._num):
             grow = hi - len(self._num)
             self._num = np.concatenate(
@@ -235,16 +261,35 @@ class StreamingSession:
         for w in range(self.W):
             if not win_valid[w]:
                 continue
-            f0 = int(starts[w])
-            self._num[f0:f0 + self.L] += preds[w]
+            f0 = int(starts[w]) - self._a0     # >= 0: windows never reach
+            self._num[f0:f0 + self.L] += preds[w]   # back into emitted rows
             self._den[f0:f0 + self.L] += 1.0
 
     def _emit(self, hi: int) -> Tuple[int, np.ndarray]:
         lo = self._emitted
         hi = max(hi, lo)
-        out = self._num[lo:hi] / np.maximum(self._den[lo:hi, None], 1.0)
+        out = self._num[lo - self._a0:hi - self._a0] / \
+            np.maximum(self._den[lo - self._a0:hi - self._a0, None], 1.0)
         self._emitted = hi
+        # emitted rows can never be written again — drop them
+        self._num = self._num[hi - self._a0:]
+        self._den = self._den[hi - self._a0:]
+        self._a0 = hi
         return lo, np.clip(out, -1.0, 1.0)
+
+    def _trim_inputs(self) -> None:
+        """Drop frames/samples no future window (grid from _nwin on, or a
+        flush-time clamped tail ≥ current_n − L) can read."""
+        keep_f = max(self._f0, min(self._nwin * self.stride,
+                                   self._n_frames() - self.L))
+        if self.use_video and keep_f > self._f0:
+            self._frames = self._frames[keep_f - self._f0:]
+            self._f0 = keep_f
+        if self.use_audio:
+            keep_s = max(self._s0, self._sample_start(keep_f))
+            if keep_s > self._s0:
+                self._wav = self._wav[keep_s - self._s0:]
+                self._s0 = keep_s
 
     def push(self, frames: Optional[np.ndarray] = None,
              waveform: Optional[np.ndarray] = None) -> Tuple[int, np.ndarray]:
@@ -261,9 +306,10 @@ class StreamingSession:
         # process every complete group of W grid windows
         while all(self._window_ready(self._nwin + i) for i in range(self.W)):
             starts = (self._nwin + np.arange(self.W)) * self.stride
-            self._run_group(starts.astype(np.int64),
-                            np.ones(self.W, bool), self._frames, self._wav)
+            self._run_group(starts.astype(np.int64), np.ones(self.W, bool),
+                            self._frames, self._f0, self._wav, self._s0)
             self._nwin += self.W
+        self._trim_inputs()
         if self._nwin == 0:
             return self._emitted, np.zeros((0, 2), np.float32)
         # a future window (grid or the flush-time clamped tail) starts
@@ -276,6 +322,10 @@ class StreamingSession:
         assert not self._flushed, "session already flushed"
         self._flushed = True
         n = self._n_frames()
+        if n == 0 and not self.use_video and len(self._wav) > 0:
+            # offline parity: _video_dict clamps an audio-only sub-frame
+            # waveform to one frame rather than returning nothing
+            n = 1
         if n == 0:
             return self._emitted, np.zeros((0, 2), np.float32)
         # mirror the offline API's strictness: an audio-consuming model with
@@ -292,18 +342,21 @@ class StreamingSession:
             n_pad = -(-len(rem) // self.W) * self.W
             win_valid = np.arange(n_pad) < len(rem)
             rem = np.concatenate([rem, np.repeat(rem[-1:], n_pad - len(rem))])
+            # _trim_inputs keeps everything from min(grid, n−L) on, so the
+            # retained buffers cover every remaining window; zero-pad tails
             hi_frame = int(rem.max()) + self.L
             frames = self._frames
-            if self.use_video and hi_frame > len(frames):
+            if self.use_video and hi_frame - self._f0 > len(frames):
                 frames = np.concatenate([frames, np.zeros(
-                    (hi_frame - len(frames), self.S, self.S, 3), np.uint8)])
+                    (hi_frame - self._f0 - len(frames), self.S, self.S, 3),
+                    np.uint8)])
             wav = self._wav
             if self.use_audio:
-                need = self._sample_start(int(rem.max())) + self.spw
+                need = self._sample_start(int(rem.max())) + self.spw - self._s0
                 if need > len(wav):
                     wav = np.concatenate(
                         [wav, np.zeros(need - len(wav), np.float32)])
             for g in range(0, len(rem), self.W):
                 self._run_group(rem[g:g + self.W], win_valid[g:g + self.W],
-                                frames, wav)
+                                frames, self._f0, wav, self._s0)
         return self._emit(n)

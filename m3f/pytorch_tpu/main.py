@@ -153,6 +153,12 @@ def cmd_export(args) -> int:
 
     scripts = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), "scripts")
+    if not os.path.isdir(scripts):
+        # installed-package deployments ship only the m3f package;
+        # the export tools live in the repo's scripts/ directory
+        raise SystemExit(
+            "m3f export needs the repository checkout (scripts/ not found "
+            f"at {scripts}) — run it from a clone of the repo")
 
     def load(name):
         spec = importlib.util.spec_from_file_location(

@@ -182,9 +182,12 @@ class Trainer:
             metrics = {
                 "loss": loss,
                 "grad_norm": gnorm,
-                # reported as CCC regardless of the training loss choice
-                "batch_ccc": 1.0 - ccc_loss(preds, batch["labels"],
-                                            batch["mask"]),
+                # reported as CCC regardless of the training loss choice;
+                # honors ccc_stats so one_pass keeps the pathological
+                # two-pass reduce chain fully out of the program
+                "batch_ccc": 1.0 - ccc_loss(
+                    preds, batch["labels"], batch["mask"],
+                    one_pass=self.cfg.train.ccc_stats == "one_pass"),
             }
             new_state = TrainState(new_params, new_bn, new_opt, state.step + 1)
             if tp:

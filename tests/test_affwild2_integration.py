@@ -138,6 +138,22 @@ def test_fake_abaw_end_to_end(tmp_path):
                            rng.randint(0, 255, (SIZE, SIZE, 3), dtype=np.uint8))
     test_ds = AffWild2Dataset(cfg.data, cfg.model.mel, split="test")
     assert test_ds.video_ids() == ["video_t"]
+
+    # when the raw container exists, its frame count wins over the crop-dir
+    # max (face leaving the frame at the end must not shorten submissions)
+    vdir = os.path.join(root, "videos")
+    os.makedirs(vdir)
+    vw = cv2.VideoWriter(os.path.join(vdir, "video_t.avi"),
+                         cv2.VideoWriter_fourcc(*"MJPG"), FPS, (SIZE, SIZE))
+    if vw.isOpened():          # codec availability varies across builds
+        for _ in range(30):    # 30 > 24 crop frames
+            vw.write(np.zeros((SIZE, SIZE, 3), np.uint8))
+        vw.release()
+        tv30 = test_ds.load_video("video_t")
+        assert tv30["frames"].shape[0] == 30
+        assert not tv30["valid"][24:].any()   # tail has no crops
+    os.remove(os.path.join(vdir, "video_t.avi"))
+
     tv = test_ds.load_video("video_t")
     assert tv["frames"].shape == (24, SIZE, SIZE, 3)
     assert (tv["labels"] == -5).all()          # label-free

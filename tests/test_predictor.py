@@ -174,6 +174,45 @@ def test_streaming_random_chunking_property():
                                    err_msg=f"seed {seed}")
 
 
+def test_streaming_buffers_stay_bounded():
+    # a live session must run at O(latency) memory, not O(stream length)
+    cfg = _f32(tiny_cfg(use_video=True))
+    S = cfg.data.image_size
+    sr, fps = cfg.model.mel.sample_rate, cfg.data.fps
+    p = Predictor(cfg=cfg)
+    sess = p.stream()
+    rng = np.random.RandomState(0)
+    chunk_f = 16
+    chunk_a = int(chunk_f / fps * sr)
+    total = 0
+    for i in range(40):                      # 640 frames pushed
+        _, preds = sess.push(
+            frames=rng.randint(0, 256, (chunk_f, S, S, 3), np.uint8),
+            waveform=rng.randn(chunk_a).astype(np.float32))
+        total += len(preds)
+        bound_f = sess.latency_frames + 2 * chunk_f
+        assert len(sess._frames) <= bound_f, (i, len(sess._frames))
+        assert len(sess._wav) <= int(bound_f / fps * sr) + sess.spw + chunk_a
+        assert len(sess._num) <= sess.latency_frames + chunk_f
+    lo, preds = sess.flush()
+    assert total + len(preds) == 640
+
+
+def test_streaming_warmup_precompiles_group_forward():
+    cfg = _f32(tiny_cfg(use_video=False))
+    p = Predictor(cfg=cfg)
+    p.warmup(max_frames=256)
+    assert p._fwd is not None   # the streaming group forward got built
+    sess = p.stream()
+    got = []
+    wav = _wav(30, cfg)
+    offline = p.predict_video(waveform=wav)["pred"]
+    got.append(sess.push(waveform=wav)[1])
+    got.append(sess.flush()[1])
+    np.testing.assert_allclose(np.concatenate(got), offline,
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_streaming_short_video_single_flush():
     # shorter than one window: everything arrives at flush via the padded tail
     cfg = _f32(tiny_cfg(use_video=True))
