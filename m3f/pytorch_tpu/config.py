@@ -84,6 +84,12 @@ class VisualNetConfig:
     # fill whole TPU lane tiles (144→128, 230→256, 576→512, ...). A
     # TPU-native capacity-similar variant — NOT torch-checkpoint-compatible.
     mid_mode: str = "flops"
+    # Backbone conv family — the torchvision video/resnet.py trio (SURVEY
+    # §2.1 C4 pins only "R(2+1)D/3D-ResNet-style", so all three are
+    # supported and checkpoint-compatible): "2plus1d" (r2plus1d_18, the
+    # default), "3d" (r3d_18: 3x3x3 convs + (3,7,7) stem), "mc3" (mc3_18:
+    # 3d stage 1, (1,3,3) no-temporal stages 2-4, spatial-only downsample).
+    conv_mode: str = "2plus1d"
     bn_two_pass: bool = False  # torch-order BN variance (see nn.BatchNorm)
 
 

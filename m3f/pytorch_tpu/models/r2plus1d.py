@@ -120,19 +120,30 @@ class BasicBlock:
     # channel reduction ratio (16 is the SE-Net default).
     se_ratio: int = 0
     mid_mode: str = "flops"
+    # conv family of this block: "2plus1d" (factorized, the default) |
+    # "3d" (3x3x3, r3d_18) | "no_temporal" ((1,3,3), mc3_18 stages 2-4)
+    conv_kind: str = "2plus1d"
 
     @property
     def has_downsample(self) -> bool:
         return self.stride != (1, 1, 1) or self.in_c != self.out_c
 
     def _layers(self):
-        # ONE midplane count per block, from (in_c, out_c), shared by both
-        # convs — the torchvision VideoResNet recipe (checkpoint compat)
-        mid = midplanes(self.in_c, self.out_c, mode=self.mid_mode)
-        conv1 = Conv2Plus1D(self.in_c, self.out_c, mid, self.stride,
-                            bn_two_pass=self.bn_two_pass)
-        conv2 = Conv2Plus1D(self.out_c, self.out_c, mid,
-                            bn_two_pass=self.bn_two_pass)
+        if self.conv_kind == "2plus1d":
+            # ONE midplane count per block, from (in_c, out_c), shared by both
+            # convs — the torchvision VideoResNet recipe (checkpoint compat)
+            mid = midplanes(self.in_c, self.out_c, mode=self.mid_mode)
+            conv1 = Conv2Plus1D(self.in_c, self.out_c, mid, self.stride,
+                                bn_two_pass=self.bn_two_pass)
+            conv2 = Conv2Plus1D(self.out_c, self.out_c, mid,
+                                bn_two_pass=self.bn_two_pass)
+        else:
+            k, pad = (((3, 3, 3), ((1, 1), (1, 1), (1, 1)))
+                      if self.conv_kind == "3d"
+                      else ((1, 3, 3), ((0, 0), (1, 1), (1, 1))))
+            conv1 = Conv(self.in_c, self.out_c, k, strides=self.stride,
+                         padding=pad)
+            conv2 = Conv(self.out_c, self.out_c, k, padding=pad)
         down = Conv(self.in_c, self.out_c, (1, 1, 1), strides=self.stride,
                     padding="VALID") if self.has_downsample else None
         bn = lambda: BatchNorm(self.out_c, two_pass=self.bn_two_pass)
@@ -145,12 +156,19 @@ class BasicBlock:
     def init(self, key):
         k1, k2, kd, ks1, ks2 = jax.random.split(key, 5)
         conv1, bn1, conv2, bn2, down = self._layers()
-        p1, s1 = conv1.init(k1)
-        p2, s2 = conv2.init(k2)
+        if self.conv_kind == "2plus1d":
+            p1, s1 = conv1.init(k1)
+            p2, s2 = conv2.init(k2)
+        else:  # plain convs carry no inner BN state
+            p1, s1 = conv1.init(k1), None
+            p2, s2 = conv2.init(k2), None
         bp1, bs1 = bn1.init(None)
         bp2, bs2 = bn2.init(None)
         params = {"conv1": p1, "bn1": bp1, "conv2": p2, "bn2": bp2}
-        state = {"conv1": s1, "bn1": bs1, "conv2": s2, "bn2": bs2}
+        state = {"bn1": bs1, "bn2": bs2}
+        if s1 is not None:
+            state["conv1"] = s1
+            state["conv2"] = s2
         if down is not None:
             params["down"] = down.init(kd)
             bpd, bsd = BatchNorm(self.out_c, two_pass=self.bn_two_pass).init(None)
@@ -164,10 +182,16 @@ class BasicBlock:
     def apply(self, params, state, x, train):
         conv1, bn1, conv2, bn2, down = self._layers()
         ns = {}
-        y, ns["conv1"] = conv1.apply(params["conv1"], state["conv1"], x, train)
+        if self.conv_kind == "2plus1d":
+            y, ns["conv1"] = conv1.apply(params["conv1"], state["conv1"], x, train)
+        else:
+            y = conv1.apply(params["conv1"], x)
         y, ns["bn1"] = bn1.apply(params["bn1"], state["bn1"], y, train)
         y = relu(y)
-        y, ns["conv2"] = conv2.apply(params["conv2"], state["conv2"], y, train)
+        if self.conv_kind == "2plus1d":
+            y, ns["conv2"] = conv2.apply(params["conv2"], state["conv2"], y, train)
+        else:
+            y = conv2.apply(params["conv2"], y)
         y, ns["bn2"] = bn2.apply(params["bn2"], state["bn2"], y, train)
         if self.se_ratio:
             # squeeze: GAP over (T, H, W) → [B, C]; excite: bottleneck MLP →
@@ -211,6 +235,14 @@ class R2Plus1D:
     cfg: VisualNetConfig
 
     def _stem(self):
+        if self.cfg.conv_mode != "2plus1d":
+            # torchvision BasicStem (r3d_18 / mc3_18): ONE (3,7,7) conv
+            return (Conv(3, self.cfg.stem_channels, (3, 7, 7),
+                         strides=(1, 2, 2),
+                         padding=((1, 1), (3, 3), (3, 3))),
+                    BatchNorm(self.cfg.stem_channels,
+                              two_pass=self.cfg.bn_two_pass),
+                    None, None)
         return (Conv(3, 45, (1, 7, 7), strides=(1, 2, 2),
                      padding=((0, 0), (3, 3), (3, 3))),
                 BatchNorm(45, two_pass=self.cfg.bn_two_pass),
@@ -219,17 +251,34 @@ class R2Plus1D:
                 BatchNorm(self.cfg.stem_channels,
                           two_pass=self.cfg.bn_two_pass))
 
+    def _block_kind(self, si: int) -> str:
+        if self.cfg.conv_mode == "2plus1d":
+            return "2plus1d"
+        if self.cfg.conv_mode == "3d":
+            return "3d"
+        if self.cfg.conv_mode == "mc3":
+            # mc3_18: full 3d in stage 1, spatial-only convs after
+            return "3d" if si == 0 else "no_temporal"
+        raise ValueError(f"unknown conv_mode {self.cfg.conv_mode!r}")
+
     def _blocks(self):
         blocks = []
         in_c = self.cfg.stem_channels
         for si, (out_c, n) in enumerate(zip(self.cfg.block_channels,
                                             self.cfg.blocks_per_stage)):
+            kind = self._block_kind(si)
             for bi in range(n):
-                stride = (2, 2, 2) if (si > 0 and bi == 0) else (1, 1, 1)
+                if si > 0 and bi == 0:
+                    # no-temporal stages downsample spatially only
+                    # (torchvision Conv3DNoTemporal.get_downsample_stride)
+                    stride = (1, 2, 2) if kind == "no_temporal" else (2, 2, 2)
+                else:
+                    stride = (1, 1, 1)
                 blocks.append(BasicBlock(in_c, out_c, stride,
                                          bn_two_pass=self.cfg.bn_two_pass,
                                          se_ratio=self.cfg.se_ratio,
-                                         mid_mode=self.cfg.mid_mode))
+                                         mid_mode=self.cfg.mid_mode,
+                                         conv_kind=kind))
                 in_c = out_c
         return blocks
 
@@ -238,11 +287,14 @@ class R2Plus1D:
         blocks = self._blocks()
         keys = jax.random.split(key, len(blocks) + 2)
         bp1, bs1 = s_bn1.init(None)
-        bp2, bs2 = s_bn2.init(None)
-        params = {"stem": {"conv1": s_conv1.init(keys[0]), "bn1": bp1,
-                           "conv2": s_conv2.init(keys[1]), "bn2": bp2},
+        params = {"stem": {"conv1": s_conv1.init(keys[0]), "bn1": bp1},
                   "blocks": []}
-        state = {"stem": {"bn1": bs1, "bn2": bs2}, "blocks": []}
+        state = {"stem": {"bn1": bs1}, "blocks": []}
+        if s_conv2 is not None:
+            bp2, bs2 = s_bn2.init(None)
+            params["stem"]["conv2"] = s_conv2.init(keys[1])
+            params["stem"]["bn2"] = bp2
+            state["stem"]["bn2"] = bs2
         for i, blk in enumerate(blocks):
             p, s = blk.init(keys[i + 2])
             params["blocks"].append(p)
@@ -262,13 +314,18 @@ class R2Plus1D:
         x = s_conv1.apply(params["stem"]["conv1"], clips)
         x, ns1 = s_bn1.apply(params["stem"]["bn1"], state["stem"]["bn1"], x, train)
         x = relu(x)
-        x = s_conv2.apply(params["stem"]["conv2"], x)
-        x, ns2 = s_bn2.apply(params["stem"]["bn2"], state["stem"]["bn2"], x, train)
-        x = relu(x)
-        new_state = {"stem": {"bn1": ns1, "bn2": ns2}, "blocks": []}
+        new_state = {"stem": {"bn1": ns1}, "blocks": []}
+        if s_conv2 is not None:
+            x = s_conv2.apply(params["stem"]["conv2"], x)
+            x, ns2 = s_bn2.apply(params["stem"]["bn2"], state["stem"]["bn2"],
+                                 x, train)
+            x = relu(x)
+            new_state["stem"]["bn2"] = ns2
         # the fused conv path computes BN stats as s1/s2 epilogues — one-pass
         # by construction — so two-pass BN routes through the XLA composition
-        fused = self.cfg.conv_backend == "pallas_fused" and not self.cfg.bn_two_pass
+        # (and only exists for the factorized (2+1)D conv units)
+        fused = self.cfg.conv_backend == "pallas_fused" \
+            and not self.cfg.bn_two_pass and self.cfg.conv_mode == "2plus1d"
         if fused:
             from m3f.pytorch_tpu.ops.pallas import conv_bn
             # the all-Pallas backward needs its dW accumulator in VMEM —

@@ -90,14 +90,35 @@ def convert_gru(sd: SD, prefix: str, num_layers: int = 1,
 # Whole-model converters
 # ---------------------------------------------------------------------------
 
+def detect_visual_mode(sd: SD, prefix: str = "") -> str:
+    """Infer the backbone conv family from the key schema.
+
+    r2plus1d_18 has the two-conv stem (``stem.3``) and nested block convs
+    (``conv1.0.0``); r3d_18 / mc3_18 share the one-conv BasicStem and plain
+    ``conv1.0`` convs, distinguished by stage-2's temporal kernel extent.
+    """
+    pf = prefix and prefix + "."
+    if f"{pf}stem.3.weight" in sd:
+        return "2plus1d"
+    w2 = sd.get(f"{pf}layer2.0.conv1.0.weight")
+    if w2 is not None and np.asarray(w2).shape[2] == 1:
+        return "mc3"
+    return "3d"
+
+
 def detect_blocks_per_stage(sd: SD, prefix: str = "") -> Tuple[int, ...]:
     """Infer the stage depths from ``layer{s}.{b}`` keys (18 vs 34 etc.)."""
     pf = prefix and prefix + "."
+
+    def has_conv1(s, b):
+        return (f"{pf}layer{s}.{b}.conv1.0.0.weight" in sd       # (2+1)d
+                or f"{pf}layer{s}.{b}.conv1.0.weight" in sd)     # 3d / mc3
+
     stages = []
     s = 1
-    while f"{pf}layer{s}.0.conv1.0.0.weight" in sd:
+    while has_conv1(s, 0):
         b = 0
-        while f"{pf}layer{s}.{b}.conv1.0.0.weight" in sd:
+        while has_conv1(s, b):
             b += 1
         stages.append(b)
         s += 1
@@ -130,13 +151,15 @@ def convert_r2plus1d(sd: SD, prefix: str = "",
     """
     if blocks_per_stage is None:
         blocks_per_stage = detect_blocks_per_stage(sd, prefix)
+    mode = detect_visual_mode(sd, prefix)
     pf = prefix and prefix + "."
     params = {"stem": {}, "blocks": []}
     state = {"stem": {}, "blocks": []}
     params["stem"]["conv1"] = convert_conv(sd, f"{pf}stem.0")
     params["stem"]["bn1"], state["stem"]["bn1"] = convert_bn(sd, f"{pf}stem.1")
-    params["stem"]["conv2"] = convert_conv(sd, f"{pf}stem.3")
-    params["stem"]["bn2"], state["stem"]["bn2"] = convert_bn(sd, f"{pf}stem.4")
+    if mode == "2plus1d":
+        params["stem"]["conv2"] = convert_conv(sd, f"{pf}stem.3")
+        params["stem"]["bn2"], state["stem"]["bn2"] = convert_bn(sd, f"{pf}stem.4")
 
     for s, n in enumerate(blocks_per_stage, start=1):
         for b in range(n):
@@ -144,13 +167,16 @@ def convert_r2plus1d(sd: SD, prefix: str = "",
             bp: Dict = {}
             bs: Dict = {}
             for cname in ("conv1", "conv2"):
-                bn_mid_p, bn_mid_s = convert_bn(sd, f"{base}.{cname}.0.1")
-                bp[cname] = {
-                    "spatial": convert_conv(sd, f"{base}.{cname}.0.0"),
-                    "bn_mid": bn_mid_p,
-                    "temporal": convert_conv(sd, f"{base}.{cname}.0.3"),
-                }
-                bs[cname] = {"bn_mid": bn_mid_s}
+                if mode == "2plus1d":
+                    bn_mid_p, bn_mid_s = convert_bn(sd, f"{base}.{cname}.0.1")
+                    bp[cname] = {
+                        "spatial": convert_conv(sd, f"{base}.{cname}.0.0"),
+                        "bn_mid": bn_mid_p,
+                        "temporal": convert_conv(sd, f"{base}.{cname}.0.3"),
+                    }
+                    bs[cname] = {"bn_mid": bn_mid_s}
+                else:  # 3d / mc3: conv1.0 IS the conv, no inner BN
+                    bp[cname] = convert_conv(sd, f"{base}.{cname}.0")
             bp["bn1"], bs["bn1"] = convert_bn(sd, f"{base}.conv1.1")
             bp["bn2"], bs["bn2"] = convert_bn(sd, f"{base}.conv2.1")
             if f"{base}.downsample.0.weight" in sd:
@@ -268,8 +294,9 @@ def export_r2plus1d(params: Dict, state: Dict, prefix: str = "",
     pf = prefix and prefix + "."
     export_conv(params["stem"]["conv1"], f"{pf}stem.0", out)
     export_bn(params["stem"]["bn1"], state["stem"]["bn1"], f"{pf}stem.1", out)
-    export_conv(params["stem"]["conv2"], f"{pf}stem.3", out)
-    export_bn(params["stem"]["bn2"], state["stem"]["bn2"], f"{pf}stem.4", out)
+    if "conv2" in params["stem"]:      # (2+1)d two-conv stem
+        export_conv(params["stem"]["conv2"], f"{pf}stem.3", out)
+        export_bn(params["stem"]["bn2"], state["stem"]["bn2"], f"{pf}stem.4", out)
     flat = list(zip(params["blocks"], state["blocks"]))
     i = 0
     for s, n in enumerate(blocks_per_stage, start=1):
@@ -278,10 +305,13 @@ def export_r2plus1d(params: Dict, state: Dict, prefix: str = "",
             i += 1
             base = f"{pf}layer{s}.{b}"
             for cname in ("conv1", "conv2"):
-                export_conv(bp[cname]["spatial"], f"{base}.{cname}.0.0", out)
-                export_bn(bp[cname]["bn_mid"], bs[cname]["bn_mid"],
-                          f"{base}.{cname}.0.1", out)
-                export_conv(bp[cname]["temporal"], f"{base}.{cname}.0.3", out)
+                if "spatial" in bp[cname]:     # factorized (2+1)d unit
+                    export_conv(bp[cname]["spatial"], f"{base}.{cname}.0.0", out)
+                    export_bn(bp[cname]["bn_mid"], bs[cname]["bn_mid"],
+                              f"{base}.{cname}.0.1", out)
+                    export_conv(bp[cname]["temporal"], f"{base}.{cname}.0.3", out)
+                else:                           # plain 3d / no-temporal conv
+                    export_conv(bp[cname], f"{base}.{cname}.0", out)
             export_bn(bp["bn1"], bs["bn1"], f"{base}.conv1.1", out)
             export_bn(bp["bn2"], bs["bn2"], f"{base}.conv2.1", out)
             if "down" in bp:

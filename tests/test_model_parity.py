@@ -92,6 +92,25 @@ def test_r2plus1d_parity_eval():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("mode", ["3d", "mc3"])
+def test_r3d_mc3_parity_eval(mode):
+    """r3d_18 / mc3_18 conv families match their torch goldens through the
+    auto-detecting converter (SURVEY §2.1 C4 "R(2+1)D/3D-ResNet-style")."""
+    torch.manual_seed(11)
+    tg = R2Plus1DGolden(conv_mode=mode).eval()
+    sd = state_dict_numpy(tg)
+    x = np.random.RandomState(11).randn(1, 3, 8, 56, 56).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.from_numpy(x)).numpy()
+
+    params, state = convert_r2plus1d(sd)   # mode auto-detected from keys
+    xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    with highest():
+        got, _ = R2Plus1D(VisualNetConfig(conv_mode=mode)).apply(
+            params, state, xj, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
 def test_m3f_fusion_parity_eval():
     torch.manual_seed(3)
     tg = M3FGolden().eval()

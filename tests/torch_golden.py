@@ -28,24 +28,38 @@ class Conv2Plus1D(nn.Sequential):
         )
 
 
+def _conv_builder(kind, in_planes, out_planes, mid, stride):
+    """torchvision video/resnet.py conv trio (key schema preserved)."""
+    if kind == "2plus1d":
+        return Conv2Plus1D(in_planes, out_planes, mid, stride), \
+            (stride, stride, stride)
+    if kind == "3d":       # Conv3DSimple
+        return nn.Conv3d(in_planes, out_planes, 3, stride=stride, padding=1,
+                         bias=False), (stride, stride, stride)
+    if kind == "no_temporal":  # Conv3DNoTemporal
+        return nn.Conv3d(in_planes, out_planes, (1, 3, 3),
+                         stride=(1, stride, stride), padding=(0, 1, 1),
+                         bias=False), (1, stride, stride)
+    raise ValueError(kind)
+
+
 class BasicBlock(nn.Module):
-    def __init__(self, inplanes, planes, stride=1, se_ratio=0):
+    def __init__(self, inplanes, planes, stride=1, se_ratio=0,
+                 conv_kind="2plus1d"):
         super().__init__()
         # torchvision video/resnet.py computes midplanes ONCE per block from
         # (inplanes, planes) and reuses it for BOTH convs
         mid = midplanes(inplanes, planes)
-        self.conv1 = nn.Sequential(
-            Conv2Plus1D(inplanes, planes, mid, stride),
-            nn.BatchNorm3d(planes), nn.ReLU(inplace=True))
-        self.conv2 = nn.Sequential(
-            Conv2Plus1D(planes, planes, mid),
-            nn.BatchNorm3d(planes))
+        c1, ds_stride = _conv_builder(conv_kind, inplanes, planes, mid, stride)
+        c2, _ = _conv_builder(conv_kind, planes, planes, mid, 1)
+        self.conv1 = nn.Sequential(c1, nn.BatchNorm3d(planes),
+                                   nn.ReLU(inplace=True))
+        self.conv2 = nn.Sequential(c2, nn.BatchNorm3d(planes))
         self.relu = nn.ReLU(inplace=True)
         self.downsample = None
         if stride != 1 or inplanes != planes:
             self.downsample = nn.Sequential(
-                nn.Conv3d(inplanes, planes, 1, stride=(stride, stride, stride),
-                          bias=False),
+                nn.Conv3d(inplanes, planes, 1, stride=ds_stride, bias=False),
                 nn.BatchNorm3d(planes))
         self.se = None
         if se_ratio:
@@ -66,21 +80,29 @@ class R2Plus1DGolden(nn.Module):
     """torchvision-schema R(2+1)D-18 backbone → [B, 512] features (NCDHW in)."""
 
     def __init__(self, channels=(64, 128, 256, 512), blocks=(2, 2, 2, 2),
-                 se_ratio=0):
+                 se_ratio=0, conv_mode="2plus1d"):
         super().__init__()
-        self.stem = nn.Sequential(
-            nn.Conv3d(3, 45, (1, 7, 7), stride=(1, 2, 2), padding=(0, 3, 3),
-                      bias=False),
-            nn.BatchNorm3d(45), nn.ReLU(inplace=True),
-            nn.Conv3d(45, 64, (3, 1, 1), padding=(1, 0, 0), bias=False),
-            nn.BatchNorm3d(64), nn.ReLU(inplace=True))
+        if conv_mode == "2plus1d":
+            self.stem = nn.Sequential(
+                nn.Conv3d(3, 45, (1, 7, 7), stride=(1, 2, 2), padding=(0, 3, 3),
+                          bias=False),
+                nn.BatchNorm3d(45), nn.ReLU(inplace=True),
+                nn.Conv3d(45, 64, (3, 1, 1), padding=(1, 0, 0), bias=False),
+                nn.BatchNorm3d(64), nn.ReLU(inplace=True))
+        else:  # torchvision BasicStem (r3d_18 / mc3_18)
+            self.stem = nn.Sequential(
+                nn.Conv3d(3, 64, (3, 7, 7), stride=(1, 2, 2),
+                          padding=(1, 3, 3), bias=False),
+                nn.BatchNorm3d(64), nn.ReLU(inplace=True))
         inplanes = 64
         for si, (c, n) in enumerate(zip(channels, blocks), start=1):
+            kind = {"2plus1d": "2plus1d", "3d": "3d",
+                    "mc3": "3d" if si == 1 else "no_temporal"}[conv_mode]
             layers = []
             for bi in range(n):
                 layers.append(BasicBlock(inplanes, c,
                                          stride=2 if (si > 1 and bi == 0) else 1,
-                                         se_ratio=se_ratio))
+                                         se_ratio=se_ratio, conv_kind=kind))
                 inplanes = c
             setattr(self, f"layer{si}", nn.Sequential(*layers))
         self.num_stages = len(channels)
