@@ -137,13 +137,16 @@ class BasicBlock:
                                 bn_two_pass=self.bn_two_pass)
             conv2 = Conv2Plus1D(self.out_c, self.out_c, mid,
                                 bn_two_pass=self.bn_two_pass)
-        else:
+        elif self.conv_kind in ("3d", "no_temporal"):
             k, pad = (((3, 3, 3), ((1, 1), (1, 1), (1, 1)))
                       if self.conv_kind == "3d"
                       else ((1, 3, 3), ((0, 0), (1, 1), (1, 1))))
             conv1 = Conv(self.in_c, self.out_c, k, strides=self.stride,
                          padding=pad)
             conv2 = Conv(self.out_c, self.out_c, k, padding=pad)
+        else:
+            raise ValueError(f"unknown conv_kind {self.conv_kind!r} "
+                             "(2plus1d | 3d | no_temporal)")
         down = Conv(self.in_c, self.out_c, (1, 1, 1), strides=self.stride,
                     padding="VALID") if self.has_downsample else None
         bn = lambda: BatchNorm(self.out_c, two_pass=self.bn_two_pass)
@@ -252,6 +255,13 @@ class R2Plus1D:
                           two_pass=self.cfg.bn_two_pass))
 
     def _block_kind(self, si: int) -> str:
+        if self.cfg.mid_mode != "flops" and self.cfg.conv_mode != "2plus1d":
+            # the lane midplanes variant only exists for the factorized
+            # family — silently ignoring it would fake the +35% variant
+            raise ValueError(
+                f"mid_mode={self.cfg.mid_mode!r} has no effect with "
+                f"conv_mode={self.cfg.conv_mode!r} (midplanes are a (2+1)D "
+                "factorization concept) — drop one of the two")
         if self.cfg.conv_mode == "2plus1d":
             return "2plus1d"
         if self.cfg.conv_mode == "3d":
@@ -306,9 +316,11 @@ class R2Plus1D:
         """clips: [B, T=16, H=112, W=112, 3] → [B, feature_dim].
 
         ``per_frame=True`` pools SPATIAL axes only, keeping the backbone's
-        temporal feature map: [B, T', feature_dim] with T' = T / 2^(stages-1)
-        (stages 2+ stride time by 2). The per-frame head upsamples T' → T
-        outside; no parameters differ from the pooled mode.
+        temporal feature map [B, T', feature_dim]. T' depends on the conv
+        family: 2plus1d/3d stride time by 2 per stage after the first
+        (T' = T / 2^(stages-1)); mc3 never strides time (T' = T). The
+        per-frame head upsamples T' → T generically outside; no parameters
+        differ from the pooled mode.
         """
         s_conv1, s_bn1, s_conv2, s_bn2 = self._stem()
         x = s_conv1.apply(params["stem"]["conv1"], clips)

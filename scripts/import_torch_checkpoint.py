@@ -54,17 +54,28 @@ def main(argv=None) -> int:
     if not sd:
         print(f"no keys (after prefix filter '{args.prefix}')", file=sys.stderr)
         return 1
+    meta = {"source": args.torch_ckpt, "kind": args.kind}
+    mode = ""
     if args.kind == "r2plus1d":
+        mode = convert.detect_visual_mode(sd)
         params, state = convert.convert_r2plus1d(sd)
     elif args.kind == "audio_cnn":
         params, state = convert.convert_audio_cnn(sd)
     else:
+        mode = convert.detect_visual_mode(sd, "visual")
         params, state = convert.convert_m3f(sd)
-    save_pytree({"params": params, "state": state}, args.out_npz,
-                meta={"source": args.torch_ckpt, "kind": args.kind})
+    if mode:
+        # surfaced so users of r3d_18/mc3_18 checkpoints know to set
+        # model.visual.conv_mode — otherwise the later template load fails
+        # with a generic key-mismatch error
+        meta["conv_mode"] = mode
+    save_pytree({"params": params, "state": state}, args.out_npz, meta=meta)
     n = sum(int(np.prod(np.asarray(p).shape))
             for p in __import__("jax").tree.leaves(params))
-    print(f"wrote {args.out_npz}: {n/1e6:.2f}M params ({args.kind})")
+    hint = (f"; set model.visual.conv_mode={mode} to load it"
+            if mode and mode != "2plus1d" else "")
+    print(f"wrote {args.out_npz}: {n/1e6:.2f}M params ({args.kind}, "
+          f"conv family {mode or 'n/a'}{hint})")
     return 0
 
 

@@ -57,3 +57,9 @@ def test_conv_mode_changes_hash_and_trains_shapes():
     assert cfg.config_hash() != r3d.config_hash()
     with pytest.raises(ValueError):
         R2Plus1D(dataclasses.replace(_tiny("3d"), conv_mode="slowfast"))._blocks()
+
+
+def test_lane_mid_mode_rejected_for_plain_conv_families():
+    cfg = dataclasses.replace(_tiny("3d"), mid_mode="lane")
+    with pytest.raises(ValueError, match="mid_mode"):
+        R2Plus1D(cfg)._blocks()
