@@ -91,6 +91,14 @@ class VisualNetConfig:
     # 3d stage 1, (1,3,3) no-temporal stages 2-4, spatial-only downsample).
     conv_mode: str = "2plus1d"
     bn_two_pass: bool = False  # torch-order BN variance (see nn.BatchNorm)
+    # Space-to-depth stem (the classic TPU input-conv rewrite, e.g. MLPerf
+    # ResNet): the stride-(1,2,2) 7x7 stem conv over C_in=3 is re-expressed as
+    # a stride-1 4x4 conv over 2x2-packed input with C_in=12 — EXACT same
+    # math (the kernel is zero-padded 7→8 and re-tiled at trace time from the
+    # canonical checkpoint-layout parameters), so torch checkpoint
+    # compatibility is unaffected. Pure backend knob, excluded from the
+    # semantic config hash. Measured impact in BASELINE.md.
+    stem_s2d: bool = False
 
 
 @dataclass(frozen=True)
@@ -264,6 +272,7 @@ class ExperimentConfig:
         model.pop("init_from", None)
         model["visual"].pop("conv_backend", None)
         model["visual"].pop("bn_two_pass", None)
+        model["visual"].pop("stem_s2d", None)
         model["audio"].pop("bn_two_pass", None)
         model["gru"].pop("backend", None)
         semantic = {

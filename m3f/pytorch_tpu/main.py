@@ -40,8 +40,14 @@ from m3f.pytorch_tpu.train.loop import Trainer
 from m3f.pytorch_tpu.utils.logging import MetricWriter
 
 
-# base presets plus the "+lane" TPU-native variant of each
-_PRESET_CHOICES = sorted(PRESETS) + [p + "+lane" for p in sorted(PRESETS)]
+# base presets plus the stackable TPU-native variants of each
+_PRESET_VARIANTS = {
+    "lane": {"model.visual.mid_mode": "lane"},
+    "s2d": {"model.visual.stem_s2d": True},
+}
+_PRESET_CHOICES = sorted(PRESETS) + [p + "+" + v
+                                     for p in sorted(PRESETS)
+                                     for v in ("lane", "s2d", "lane+s2d")]
 
 
 def _parse_value(s: str):
@@ -52,15 +58,18 @@ def _parse_value(s: str):
 
 
 def build_config(preset: str, overrides: List[str]) -> ExperimentConfig:
-    # "<preset>+lane" = the TPU-native lane-rounded-midplanes variant
-    # (visual.mid_mode="lane", +35% train throughput, BASELINE.md; not
-    # torch-checkpoint-compatible). Same syntax as scripts/tpu_smoke.py.
-    base, _, variant = preset.partition("+")
+    # "<preset>+lane+s2d" = stacked TPU-native variants: "lane" = the
+    # lane-rounded-midplanes variant (visual.mid_mode="lane", +35% train
+    # throughput, BASELINE.md; not torch-checkpoint-compatible), "s2d" = the
+    # space-to-depth stem (exact math, checkpoint-compatible). Same syntax as
+    # scripts/tpu_smoke.py.
+    base, *variants = preset.split("+")
     cfg = PRESETS[base]()
-    if variant == "lane":
-        cfg = apply_overrides(cfg, {"model.visual.mid_mode": "lane"})
-    elif variant:
-        raise SystemExit(f"unknown preset variant '+{variant}' (know: +lane)")
+    for variant in variants:
+        if variant not in _PRESET_VARIANTS:
+            raise SystemExit(f"unknown preset variant '+{variant}' "
+                             f"(know: {', '.join('+' + v for v in _PRESET_VARIANTS)})")
+        cfg = apply_overrides(cfg, _PRESET_VARIANTS[variant])
     kv = {}
     for o in overrides:
         if "=" not in o:

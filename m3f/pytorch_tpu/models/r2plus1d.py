@@ -51,6 +51,32 @@ def midplanes(in_c: int, out_c: int, t: int = 3, d: int = 3,
     return mid
 
 
+def space_to_depth_hw(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, H, W, C] → [B, T, H/2, W/2, 4C], packing each 2x2 spatial tile
+    into channels ordered (py, px, c) — the layout `s2d_stem_kernel` matches."""
+    B, T, H, W, C = x.shape
+    x = x.reshape(B, T, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(B, T, H // 2, W // 2, 4 * C)
+
+
+def s2d_stem_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """Re-tile a [kt, 7, 7, ci, co] stride-2 stem kernel for s2d input.
+
+    A 7x7 stride-2 conv with padding 3 equals an 8x8 stride-2 conv whose
+    leading row/col are zero; over 2x2-packed input that is a 4x4 stride-1
+    conv with channel depth 4·ci and padding (2, 1): tap (ky, py) of the
+    packed kernel reads original row 2·ky + py − 1. Exact math — only the
+    within-dot summation order changes.
+    """
+    kt, kh, kw, ci, co = k.shape
+    assert (kh, kw) == (7, 7), f"s2d stem expects a 7x7 kernel, got {kh}x{kw}"
+    k = jnp.pad(k, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    k = k.reshape(kt, 4, 2, 4, 2, ci, co)
+    k = k.transpose(0, 1, 3, 2, 4, 5, 6)        # [kt, ky, kx, py, px, ci, co]
+    return k.reshape(kt, 4, 4, 4 * ci, co)
+
+
 @dataclass(frozen=True)
 class Conv2Plus1D:
     """Factorized 3D conv: spatial 1xdxd → BN → ReLU → temporal tx1x1.
@@ -323,7 +349,19 @@ class R2Plus1D:
         differ from the pooled mode.
         """
         s_conv1, s_bn1, s_conv2, s_bn2 = self._stem()
-        x = s_conv1.apply(params["stem"]["conv1"], clips)
+        if self.cfg.stem_s2d:
+            # exact-math space-to-depth rewrite of the stride-(1,2,2) stem
+            # conv (config docstring); parameters stay in checkpoint layout,
+            # the kernel is re-tiled at trace time
+            k = params["stem"]["conv1"]["kernel"]
+            kt = k.shape[0]
+            conv = Conv(4 * k.shape[3], k.shape[4], (kt, 4, 4),
+                        strides=(1, 1, 1),
+                        padding=((kt // 2, kt // 2), (2, 1), (2, 1)))
+            x = conv.apply({"kernel": s2d_stem_kernel(k)},
+                           space_to_depth_hw(clips))
+        else:
+            x = s_conv1.apply(params["stem"]["conv1"], clips)
         x, ns1 = s_bn1.apply(params["stem"]["bn1"], state["stem"]["bn1"], x, train)
         x = relu(x)
         new_state = {"stem": {"bn1": ns1}, "blocks": []}

@@ -26,14 +26,18 @@ def smoke_one(name: str) -> dict:
     from m3f.pytorch_tpu.parallel.mesh import shard_batch
     from m3f.pytorch_tpu.train.loop import Trainer
 
-    # "<preset>+lane" = same preset with the TPU-native lane-rounded
-    # midplanes variant (visual.mid_mode="lane", BASELINE.md)
-    base, _, variant = name.partition("+")
+    # "<preset>+lane+s2d" = preset with TPU-native variants stacked:
+    # "lane" = lane-rounded midplanes (visual.mid_mode="lane"), "s2d" =
+    # space-to-depth stem (visual.stem_s2d, exact math) — BASELINE.md
+    base, *variants = name.split("+")
     cfg = PRESETS[base]()
-    if variant == "lane":
-        cfg = apply_overrides(cfg, {"model.visual.mid_mode": "lane"})
-    elif variant:
-        raise SystemExit(f"unknown preset variant {variant!r}")
+    for variant in variants:
+        if variant == "lane":
+            cfg = apply_overrides(cfg, {"model.visual.mid_mode": "lane"})
+        elif variant == "s2d":
+            cfg = apply_overrides(cfg, {"model.visual.stem_s2d": True})
+        else:
+            raise SystemExit(f"unknown preset variant {variant!r}")
     # modest batch so every preset fits/compiles quickly; mesh = all devices
     cfg = cfg.replace(train=cfg.train.__class__(
         batch_size=2 * len(jax.devices()), mesh=cfg.train.mesh))

@@ -68,6 +68,14 @@ def test_cli_build_config_parses_values():
         build_config("fusion", ["notkeyvalue"])
 
 
+def test_cli_preset_variants_stack():
+    cfg = build_config("fusion+lane+s2d", [])
+    assert cfg.model.visual.mid_mode == "lane"
+    assert cfg.model.visual.stem_s2d is True
+    with pytest.raises(SystemExit):
+        build_config("fusion+warp", [])
+
+
 def test_metric_writer(tmp_path):
     from m3f.pytorch_tpu.utils.logging import MetricWriter
     with MetricWriter(str(tmp_path), "t", tensorboard=False) as w:

@@ -56,7 +56,7 @@ def _launch(ckpt_dir, num_steps, log_path):
     return proc
 
 
-def _wait_for_step(proc, log_path, step, timeout=240):
+def _wait_for_step(proc, log_path, step, timeout=480):
     deadline = time.time() + timeout
     while time.time() < deadline:
         if os.path.exists(log_path):
