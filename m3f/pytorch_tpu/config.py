@@ -164,6 +164,12 @@ class WindowConfig:
     train_stride: int = 16    # non-overlapping windows during training. UNVERIFIED vs reference
     eval_stride: int = 8      # overlap-stitched eval. UNVERIFIED vs reference
     windows_per_clip: int = 4  # consecutive windows fed to the BiGRU as one sequence
+    # Eval-time prediction smoothing: centered moving-average window (frames)
+    # applied on device before clip + CCC — the reference's submission
+    # postprocess smoother (infer/submission.py), surfaced at eval so val CCC
+    # measures what the server would score. 1 = off. Postprocess-only knob,
+    # excluded from the semantic config hash.
+    eval_smooth: int = 1
 
 
 @dataclass(frozen=True)
@@ -275,9 +281,11 @@ class ExperimentConfig:
         model["visual"].pop("stem_s2d", None)
         model["audio"].pop("bn_two_pass", None)
         model["gru"].pop("backend", None)
+        window = dataclasses.asdict(self.window)
+        window.pop("eval_smooth", None)  # postprocess-only, no trainable state
         semantic = {
             "model": model,
-            "window": dataclasses.asdict(self.window),
+            "window": window,
             "optim": dataclasses.asdict(self.train.optim),
             "loss": self.train.loss,
             # input semantics: resolution and the audio/frame alignment rate

@@ -191,6 +191,11 @@ def cmd_export(args) -> int:
 def cmd_predict(cfg: ExperimentConfig, args) -> int:
     """Full-video predictions → ABAW submission txts (C11)."""
     from m3f.pytorch_tpu.infer.submission import write_submission
+    if cfg.window.eval_smooth > 1 and args.smooth > 1:
+        # both the on-device eval smoother and the submission postprocess
+        # smoother would run — almost certainly not what the user wants
+        raise SystemExit("window.eval_smooth and --smooth are both set; "
+                         "predictions would be smoothed twice — pick one")
     trainer = Trainer(cfg)
     state = trainer.init_state()
     if args.checkpoint:

@@ -93,6 +93,29 @@ def stitch_framewise(window_preds: jnp.ndarray, starts: jnp.ndarray,
     return num / jnp.maximum(den[:, None], 1.0)
 
 
+def smooth_moving_average(preds: jnp.ndarray, window: int) -> jnp.ndarray:
+    """On-device centered moving average over the frame axis, [T, C] → [T, C].
+
+    Exactly `infer/submission.py:smooth_predictions` (the reference's
+    postprocess smoother: edge-padded, window//2 centering, truncated to T
+    for even windows) so eval-time smoothing (`window.eval_smooth`) measures
+    the same CCC the submission postprocess would produce. window<=1 is the
+    identity. fp32 math regardless of input dtype.
+    """
+    if window <= 1:
+        return preds
+    T = preds.shape[0]
+    pad = window // 2
+    xp = jnp.pad(preds.astype(jnp.float32), ((pad, pad), (0, 0)), mode="edge")
+    # direct windowed mean as a sum of shifted slices (window is small, and
+    # unlike a cumsum-difference this has no long-T cancellation error):
+    # out[t] = mean(xp[t : t+window])
+    out = xp[0:T]
+    for i in range(1, window):
+        out = out + xp[i:i + T]
+    return out / window
+
+
 # ---------------------------------------------------------------------------
 # Host-side postprocess (reference C9/C11 semantics: gap interpolation + clip)
 # ---------------------------------------------------------------------------

@@ -33,8 +33,8 @@ from m3f.pytorch_tpu.config import ExperimentConfig, OptimConfig
 from m3f.pytorch_tpu.data.windowing import samples_per_window
 from m3f.pytorch_tpu.models.m3f import M3F
 from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss, make_loss
-from m3f.pytorch_tpu.ops.stitch import (coverage_matrix, stitch_framewise,
-                                        window_starts)
+from m3f.pytorch_tpu.ops.stitch import (coverage_matrix, smooth_moving_average,
+                                        stitch_framewise, window_starts)
 from m3f.pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
                                            replicated, shard_batch,
                                            state_shardings)
@@ -238,7 +238,7 @@ class Trainer:
                         if n_data > 1 else None)
 
         def fn(params, bn_state, starts, sample_starts, win_valid,
-               labels, frame_valid, frames=None, wav=None):
+               labels, frame_valid, n_real, frames=None, wav=None):
             n_win = starts.shape[0]
             feed = {}
             if frames is not None:
@@ -272,6 +272,18 @@ class Trainer:
                                  precision=jax.lax.Precision.HIGHEST)
                 den = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
                 stitched = num / den
+            if self.cfg.window.eval_smooth > 1:
+                # reference postprocess order (submission.py): smooth first,
+                # then clip — so val CCC scores what the server would see.
+                # The timeline is padded to a shape bucket; edge-extend the
+                # last REAL frame over the pad (n_real is a traced scalar —
+                # no recompile per video) so the right-edge window sees the
+                # host smoother's edge padding, not the pad region's zeros.
+                fidx = jnp.arange(nf)
+                last = stitched[jnp.maximum(n_real - 1, 0)]
+                ext = jnp.where((fidx < n_real)[:, None], stitched, last[None, :])
+                stitched = smooth_moving_average(
+                    ext, self.cfg.window.eval_smooth)
             stitched = jnp.clip(stitched, -1.0, 1.0)               # [NF, 2]
             per_dim = ccc(stitched, labels, mask=frame_valid[:, None], axis=(0,))
             return stitched, per_dim
@@ -351,7 +363,8 @@ class Trainer:
             jnp.asarray(starts_padded, jnp.int32),
             jnp.asarray(sample_starts),
             jnp.asarray(win_valid),
-            jnp.asarray(labels_pad), jnp.asarray(valid_pad), **kw)
+            jnp.asarray(labels_pad), jnp.asarray(valid_pad),
+            jnp.asarray(n, jnp.int32), **kw)
         return n, stitched_d, per_dim_d
 
     @staticmethod

@@ -132,3 +132,51 @@ def test_randomized_coverage_and_framewise_properties():
         want = acc / np.maximum(cnt, 1)[:, None]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
                                    err_msg=str((n, window, stride)))
+
+
+def test_smooth_moving_average_matches_submission_oracle():
+    """On-device smoother == infer/submission.py host smoother (the spec),
+    odd and even windows, short and long sequences."""
+    from m3f.pytorch_tpu.infer.submission import smooth_predictions
+    from m3f.pytorch_tpu.ops.stitch import smooth_moving_average
+    rng = np.random.RandomState(7)
+    for T in (1, 2, 5, 37, 400):
+        preds = rng.uniform(-1, 1, (T, 2)).astype(np.float32)
+        for w in (1, 2, 3, 5, 8, 15):
+            want = smooth_predictions(preds, w)
+            got = np.asarray(smooth_moving_average(jnp.asarray(preds), w))
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                       err_msg=f"T={T} w={w}")
+
+
+def test_eval_smooth_matches_host_postprocess():
+    """`window.eval_smooth` inside the fused eval jit == running the plain
+    eval then the host submission smoother (incl. the padded-timeline right
+    edge, which the jit must edge-extend rather than smear pad zeros)."""
+    import jax
+    from m3f.pytorch_tpu.config import ExperimentConfig, apply_overrides
+    from m3f.pytorch_tpu.data.synthetic import SyntheticAVDataset
+    from m3f.pytorch_tpu.infer.submission import smooth_predictions
+    from m3f.pytorch_tpu.train.loop import Trainer
+
+    ov = {"model.audio.channels": [4, 8], "model.audio.feature_dim": 8,
+          "model.visual.block_channels": [8, 16],
+          "model.visual.blocks_per_stage": [1, 1],
+          "model.visual.stem_channels": 8, "model.visual.feature_dim": 16,
+          "model.gru.hidden_size": 8, "data.image_size": 32,
+          "data.synthetic_num_videos": 1,
+          # 100 frames: NOT a multiple of the 256-frame eval bucket, so the
+          # right edge exercises the n_real edge-extension
+          "data.synthetic_video_frames": 100}
+    cfg = apply_overrides(ExperimentConfig(), ov)
+    sm = apply_overrides(cfg, {"window.eval_smooth": 5})
+    assert cfg.config_hash() == sm.config_hash()  # postprocess-only knob
+
+    plain, smoothed = Trainer(cfg), Trainer(sm)
+    state = plain.init_state()
+    ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+    video = ds.load_video(ds.video_ids()[0])
+    p = plain.evaluate_video(state, video)["pred"]
+    q = smoothed.evaluate_video(state, video)["pred"]
+    want = np.clip(smooth_predictions(p, 5), -1.0, 1.0)
+    np.testing.assert_allclose(q, want, rtol=1e-4, atol=1e-5)
