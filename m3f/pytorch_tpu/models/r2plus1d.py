@@ -55,6 +55,8 @@ def space_to_depth_hw(x: jnp.ndarray) -> jnp.ndarray:
     """[B, T, H, W, C] → [B, T, H/2, W/2, 4C], packing each 2x2 spatial tile
     into channels ordered (py, px, c) — the layout `s2d_stem_kernel` matches."""
     B, T, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0, \
+        f"stem_s2d needs even spatial dims, got {H}x{W}"
     x = x.reshape(B, T, H // 2, 2, W // 2, 2, C)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6)
     return x.reshape(B, T, H // 2, W // 2, 4 * C)

@@ -89,10 +89,31 @@ def load_model_checkpoint(state, path: str):
     """
     with np.load(path) as z:
         keys = set(z.files)
-    # full TrainState layout: NamedTuple fields flatten as ".step"/".params"
-    # (GetAttrKey), import-script dicts as plain "params/..." keys
-    if keys & {"step", ".step"}:
-        return load_pytree(jax.device_get(state), path)
+        # full TrainState layout: NamedTuple fields flatten as ".step" /
+        # ".params" (GetAttrKey), import-script dicts as plain "params/..."
+        if keys & {"step", ".step"}:
+            # load ONLY the model subtrees: eval never touches opt_state, and
+            # template-matching it would reject checkpoints trained under a
+            # different optimizer/schedule (e.g. a cosine run's extra
+            # schedule-count leaf) for no reason
+            data = {k: z[k] for k in z.files if k != "__meta__"}
+
+            def subtree(template, prefix):
+                names = list(_flatten_with_paths(template)[0].keys())
+                flat, td = jax.tree_util.tree_flatten(template)
+                out = []
+                for k, leaf in zip(names, flat):
+                    fk = f"{prefix}/{k}" if k else prefix
+                    if fk not in data:
+                        raise ValueError(
+                            f"checkpoint {path} missing model leaf {fk}")
+                    arr = np.asarray(leaf)
+                    out.append(data[fk].astype(arr.dtype).reshape(arr.shape))
+                return jax.tree_util.tree_unflatten(td, out)
+
+            return state._replace(
+                params=subtree(jax.device_get(state.params), ".params"),
+                bn_state=subtree(jax.device_get(state.bn_state), ".bn_state"))
     tpl = {"params": jax.device_get(state.params),
            "state": jax.device_get(state.bn_state)}
     loaded = load_pytree(tpl, path)

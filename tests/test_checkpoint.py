@@ -100,3 +100,39 @@ def test_config_hash_mismatch_aborts(tmp_path):
     # for corruption (which silently falls back)
     with pytest.raises(RuntimeError, match="different config"):
         ck_b.maybe_restore(S(step=np.int32(0), w=np.zeros(5)))
+
+
+def test_load_model_checkpoint_ignores_optimizer_layout(tmp_path):
+    """Eval/predict loading of a FULL TrainState checkpoint must not care
+    about the optimizer tree: a checkpoint trained under schedule=cosine has
+    an extra schedule-count leaf that a constant-schedule eval template lacks
+    (found live: `m3f eval --checkpoint best.npz` after a cosine soak)."""
+    from m3f.pytorch_tpu.config import ExperimentConfig, apply_overrides
+    from m3f.pytorch_tpu.train.checkpoint import (load_model_checkpoint,
+                                                  save_pytree)
+    from m3f.pytorch_tpu.train.loop import Trainer
+    import jax
+
+    small = {"model.audio.channels": [4, 8], "model.audio.feature_dim": 8,
+             "model.use_video": False, "model.gru.hidden_size": 8}
+    cosine = apply_overrides(ExperimentConfig(), {
+        **small, "train.optim.schedule": "cosine",
+        "train.optim.warmup_steps": 5})
+    const = apply_overrides(ExperimentConfig(), small)
+
+    tr_a = Trainer(cosine)
+    st_a = tr_a.init_state()
+    path = str(tmp_path / "ckpt_00000003.npz")
+    save_pytree(jax.device_get(st_a), path, {"step": 3})
+
+    tr_b = Trainer(const)
+    st_b = load_model_checkpoint(tr_b.init_state(), path)
+    for a, b in zip(jax.tree.leaves(jax.device_get(st_a.params)),
+                    jax.tree.leaves(jax.device_get(st_b.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a genuinely missing MODEL leaf still fails loudly
+    import pytest
+    bigger = apply_overrides(ExperimentConfig(), {
+        **small, "model.gru.num_layers": 2})
+    with pytest.raises(ValueError, match="missing model leaf"):
+        load_model_checkpoint(Trainer(bigger).init_state(), path)
