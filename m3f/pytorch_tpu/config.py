@@ -170,6 +170,14 @@ class WindowConfig:
     # measures what the server would score. 1 = off. Postprocess-only knob,
     # excluded from the semantic config hash.
     eval_smooth: int = 1
+    # Upper bound on windows per whole-video eval dispatch. Videos whose
+    # sliding-window enumeration exceeds it are evaluated in CHUNKS of this
+    # many windows (partial stitch sums accumulate on host — bounded device
+    # memory for arbitrarily long videos; real ABAW videos run many minutes
+    # at 30 fps). 0 = always one fused call. Rounded up to the mesh's
+    # sequence-bucket granularity. Backend knob, excluded from the semantic
+    # config hash.
+    eval_max_windows: int = 512
 
 
 @dataclass(frozen=True)
@@ -283,6 +291,7 @@ class ExperimentConfig:
         model["gru"].pop("backend", None)
         window = dataclasses.asdict(self.window)
         window.pop("eval_smooth", None)  # postprocess-only, no trainable state
+        window.pop("eval_max_windows", None)  # dispatch-size backend knob
         semantic = {
             "model": model,
             "window": window,

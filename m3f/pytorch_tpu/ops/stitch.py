@@ -78,6 +78,21 @@ def stitch_framewise(window_preds: jnp.ndarray, starts: jnp.ndarray,
     [F, W, L] matmul alternative costs F·W·L memory (~0.8 GB for a 10k-frame
     video at stride 8) where the scatter touches only W·L elements.
     """
+    num, den = stitch_framewise_sums(window_preds, starts, num_frames,
+                                     win_valid=win_valid)
+    return num / jnp.maximum(den[:, None], 1.0)
+
+
+def stitch_framewise_sums(window_preds: jnp.ndarray, starts: jnp.ndarray,
+                          num_frames: int,
+                          win_valid: Optional[jnp.ndarray] = None):
+    """Un-normalized framewise stitch: (Σ preds, coverage count) per frame.
+
+    The building block behind ``stitch_framewise``; exposed so CHUNKED
+    whole-video eval (bounded window batches for arbitrarily long videos)
+    can accumulate partial sums across chunk boundaries before dividing —
+    summation is associative where the per-chunk average is not.
+    """
     w, l, c = window_preds.shape
     idx = (starts[:, None] + jnp.arange(l)[None, :]).reshape(-1)   # [W·L]
     vals = window_preds.astype(jnp.float32)
@@ -90,7 +105,7 @@ def stitch_framewise(window_preds: jnp.ndarray, starts: jnp.ndarray,
         vals.reshape(-1, c), mode="drop")
     den = jnp.zeros((num_frames,), jnp.float32).at[idx].add(
         ones.reshape(-1), mode="drop")
-    return num / jnp.maximum(den[:, None], 1.0)
+    return num, den
 
 
 def smooth_moving_average(preds: jnp.ndarray, window: int) -> jnp.ndarray:

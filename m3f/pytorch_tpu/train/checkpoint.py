@@ -111,9 +111,13 @@ def load_model_checkpoint(state, path: str):
                     out.append(data[fk].astype(arr.dtype).reshape(arr.shape))
                 return jax.tree_util.tree_unflatten(td, out)
 
+            step_key = ".step" if ".step" in data else "step"
             return state._replace(
                 params=subtree(jax.device_get(state.params), ".params"),
-                bn_state=subtree(jax.device_get(state.bn_state), ".bn_state"))
+                bn_state=subtree(jax.device_get(state.bn_state), ".bn_state"),
+                step=data[step_key].reshape(
+                    np.asarray(state.step).shape).astype(
+                        np.asarray(state.step).dtype))
     tpl = {"params": jax.device_get(state.params),
            "state": jax.device_get(state.bn_state)}
     loaded = load_pytree(tpl, path)

@@ -34,7 +34,8 @@ from m3f.pytorch_tpu.data.windowing import samples_per_window
 from m3f.pytorch_tpu.models.m3f import M3F
 from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss, make_loss
 from m3f.pytorch_tpu.ops.stitch import (coverage_matrix, smooth_moving_average,
-                                        stitch_framewise, window_starts)
+                                        stitch_framewise,
+                                        stitch_framewise_sums, window_starts)
 from m3f.pytorch_tpu.parallel.mesh import (batch_sharding, create_mesh,
                                            replicated, shard_batch,
                                            state_shardings)
@@ -106,6 +107,28 @@ def make_optimizer(cfg: OptimConfig,
     return tx
 
 
+def _host_ccc(pred: np.ndarray, target: np.ndarray, valid: np.ndarray,
+              eps: float = 1e-8) -> np.ndarray:
+    """Per-dim masked CCC in numpy fp64 (ops/ccc.py formula, host-side).
+
+    Used by the chunked long-video eval path, whose stitched predictions
+    live on the host; fp64 two-pass stats make it at least as accurate as
+    the fused fp32 on-device version it mirrors.
+    """
+    m = valid.astype(np.float64)[:, None]
+    p = pred.astype(np.float64)
+    t = target.astype(np.float64)
+    cnt = np.maximum(m.sum(axis=0), 1e-12)
+    mu_p = (p * m).sum(axis=0) / cnt
+    mu_t = (t * m).sum(axis=0) / cnt
+    dp = (p - mu_p) * m
+    dt = (t - mu_t) * m
+    cov = (dp * dt).sum(axis=0) / cnt
+    var_p = (dp * dp).sum(axis=0) / cnt
+    var_t = (dt * dt).sum(axis=0) / cnt
+    return 2.0 * cov / (var_p + var_t + (mu_p - mu_t) ** 2 + eps)
+
+
 @dataclass
 class Trainer:
     cfg: ExperimentConfig
@@ -116,6 +139,7 @@ class Trainer:
         self.mesh = create_mesh(self.cfg.train.mesh.num_data,
                                 self.cfg.train.mesh.num_model)
         self._video_eval_fn = None    # cached jit of make_video_eval_fn
+        self._video_eval_chunk_fns = {}  # local_nf -> chunk jit (long videos)
         self._last_state = None       # latest TrainState (preemption save)
 
     # -- state ------------------------------------------------------------
@@ -290,6 +314,56 @@ class Trainer:
 
         return jax.jit(fn)
 
+    def make_video_eval_chunk_fn(self, local_nf: int) -> Callable:
+        """Bounded-window partial eval for CHUNKED long-video evaluation.
+
+        Same on-device windowing + forward as ``make_video_eval_fn``, but
+        over a bounded window batch with a fixed local frame span, returning
+        the UN-normalized stitch sums ``(Σ preds, coverage)`` so the host can
+        accumulate partials across chunk boundaries (summation is associative
+        where the per-chunk average is not). Keeps device memory constant for
+        arbitrarily long videos — a real ABAW video runs many minutes at
+        30 fps, far past what one fused dispatch can hold.
+        """
+        mcfg = self.cfg.model
+        L = self.cfg.window.window_frames
+        W = self.cfg.window.windows_per_clip
+        spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
+        n_data = self.mesh.shape.get("data", 1)
+        seq_sharding = (NamedSharding(self.mesh, P("data"))
+                        if n_data > 1 else None)
+
+        def fn(params, bn_state, starts, sample_starts, win_valid,
+               frames=None, wav=None):
+            n_win = starts.shape[0]
+            feed = {}
+            if frames is not None:
+                idx = starts[:, None] + jnp.arange(L)[None, :]
+                win = frames[idx]
+                feed["video"] = win.reshape((n_win // W, W) + win.shape[1:])
+            if wav is not None:
+                sidx = sample_starts[:, None] + jnp.arange(spw)[None, :]
+                sw = wav[sidx]
+                feed["wav"] = sw.reshape(n_win // W, W, spw)
+            if seq_sharding is not None:
+                feed = {k: jax.lax.with_sharding_constraint(v, seq_sharding)
+                        for k, v in feed.items()}
+            preds, _ = self.model.apply(
+                params, bn_state, video=feed.get("video"),
+                wav=feed.get("wav"), train=False)
+            if mcfg.per_frame:
+                win_preds = preds.reshape(n_win, L, -1)
+                return stitch_framewise_sums(win_preds, starts, local_nf,
+                                             win_valid=win_valid)
+            win_preds = preds.reshape(n_win, -1)
+            m = coverage_matrix(starts, local_nf, L) \
+                * win_valid[None, :].astype(jnp.float32)
+            num = jnp.matmul(m, win_preds.astype(jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST)
+            return num, jnp.sum(m, axis=1)
+
+        return jax.jit(fn)
+
     # -- full-video sliding-window eval (config 4, [B:10]) ----------------
 
     def evaluate_video(self, state: TrainState,
@@ -317,6 +391,9 @@ class Trainer:
         starts = window_starts(n, L, wcfg.eval_stride)            # [Nw]
 
         n_win = len(starts)
+        if wcfg.eval_max_windows and n_win > wcfg.eval_max_windows:
+            # long video: bounded window batches, host-side accumulation
+            return self._dispatch_eval_chunked(state, video, starts)
         spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
         sr = mcfg.mel.sample_rate
 
@@ -367,8 +444,81 @@ class Trainer:
             jnp.asarray(n, jnp.int32), **kw)
         return n, stitched_d, per_dim_d
 
-    @staticmethod
-    def _collect_eval(pending) -> Dict[str, Any]:
+    def _dispatch_eval_chunked(self, state: TrainState,
+                               video: Dict[str, np.ndarray],
+                               starts: np.ndarray):
+        """Enqueue a LONG video as bounded window chunks (async, unsynced).
+
+        Chunk geometry is constant across chunks and videos (window count M
+        rounded to the mesh sequence bucket, frame span padded to a bucket),
+        so ONE compile of the chunk fn covers everything. The wav slice is
+        re-based per chunk with the same rounding as the fused path, so each
+        window reads byte-identical samples.
+        """
+        wcfg, mcfg = self.cfg.window, self.cfg.model
+        L, W = wcfg.window_frames, wcfg.windows_per_clip
+        spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
+        sr = mcfg.mel.sample_rate
+        fps = self.cfg.data.fps
+        n = len(video["labels"])
+        n_data = self.mesh.shape.get("data", 1)
+        win_bucket = W * (8 * n_data // math.gcd(8, n_data))
+        M = -(-wcfg.eval_max_windows // win_bucket) * win_bucket
+        # any M consecutive starts span at most (M-1)·stride + L frames
+        span = (M - 1) * wcfg.eval_stride + L
+        local_nf = -(-span // 256) * 256 + L
+        need_wav = int(round(local_nf / fps * sr)) + spw
+        fn = self._video_eval_chunk_fns.get(local_nf)
+        if fn is None:
+            fn = self.make_video_eval_chunk_fn(local_nf)
+            self._video_eval_chunk_fns[local_nf] = fn
+        frames = video.get("frames") if mcfg.use_video else None
+        wav = video.get("waveform") if mcfg.use_audio else None
+        parts = []
+        for i0 in range(0, len(starts), M):
+            sub = starts[i0:i0 + M]
+            f0 = int(sub[0])
+            sub_p = np.concatenate([sub, np.repeat(sub[-1:], M - len(sub))])
+            wv = np.arange(M) < len(sub)
+            kw = {}
+            if frames is not None:
+                seg = frames[f0:f0 + local_nf]
+                kw["frames"] = np.pad(
+                    seg, [(0, local_nf - len(seg))] + [(0, 0)] * 3)
+            if wav is not None:
+                w0 = int(np.round(f0 / fps * sr))
+                seg = wav[w0:w0 + need_wav]
+                kw["wav"] = np.pad(seg, (0, need_wav - len(seg))) \
+                    .astype(np.float32)
+            else:
+                w0 = 0
+            sstarts = (np.round(sub_p / fps * sr) - w0).astype(np.int32)
+            num_d, den_d = fn(state.params, state.bn_state,
+                              jnp.asarray(sub_p - f0, jnp.int32),
+                              jnp.asarray(sstarts), jnp.asarray(wv), **kw)
+            parts.append((f0, num_d, den_d))
+        return ("chunked", n, local_nf, parts,
+                np.asarray(video["labels"], np.float32),
+                np.asarray(video["valid"], bool))
+
+    def _collect_eval(self, pending) -> Dict[str, Any]:
+        if isinstance(pending[0], str) and pending[0] == "chunked":
+            _, n, local_nf, parts, labels, valid = pending
+            num = np.zeros((n + local_nf, 2), np.float32)
+            den = np.zeros((n + local_nf,), np.float32)
+            for f0, num_d, den_d in parts:
+                num[f0:f0 + local_nf] += np.asarray(num_d)
+                den[f0:f0 + local_nf] += np.asarray(den_d)
+            stitched = num[:n] / np.maximum(den[:n, None], 1.0)
+            # host-side postprocess, same order as the fused path
+            if self.cfg.window.eval_smooth > 1:
+                from m3f.pytorch_tpu.infer.submission import smooth_predictions
+                stitched = smooth_predictions(stitched,
+                                              self.cfg.window.eval_smooth)
+            stitched = np.clip(stitched, -1.0, 1.0)
+            per_dim = _host_ccc(stitched, labels, valid)
+            return {"pred": stitched,
+                    "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1])}
         n, stitched_d, per_dim_d = pending
         per_dim = np.asarray(per_dim_d)
         return {"pred": np.asarray(stitched_d)[:n],
