@@ -45,7 +45,8 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     # global batch of window-sequences; each example is W windows = W clips
     B = (8 if on_tpu else 2) * n_chips
-    cfg = cfg.replace(train=cfg.train.__class__(batch_size=B))
+    import dataclasses
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=B))
     W, L, S = cfg.window.windows_per_clip, cfg.window.window_frames, cfg.data.image_size
     spw = samples_per_window(cfg.model.mel, cfg.model.audio.mel_frames_per_window)
 

@@ -55,10 +55,23 @@ class Predictor:
             self._fwd = self.trainer.make_eval_forward()
         return self._fwd
 
+    def _check_smooth(self, smooth_window: int):
+        if self.cfg.window.eval_smooth > 1 and smooth_window > 1:
+            raise ValueError(
+                "window.eval_smooth and smooth_window are both set; "
+                "predictions would be smoothed twice — pick one")
+
     def stream(self) -> "StreamingSession":
         """Open an ONLINE inference session: push frames/audio as they
         arrive, receive per-frame (valence, arousal) with bounded latency.
         See StreamingSession."""
+        if self.cfg.window.eval_smooth > 1:
+            # a centered smoother needs FUTURE frames; silently skipping it
+            # would break the session's offline-equality contract
+            raise ValueError(
+                "window.eval_smooth > 1 cannot apply to streaming sessions "
+                "(centered smoothing needs future frames) — smooth the "
+                "emitted stream downstream, or use eval_smooth=1")
         return StreamingSession(self)
 
     def warmup(self, max_frames: int = 1024) -> None:
@@ -69,6 +82,11 @@ class Predictor:
         removes the multi-second first-request compile from serving paths.
         Compiles are persisted by the XLA cache, so this is cheap after the
         first process.
+
+        Videos whose window count exceeds ``window.eval_max_windows`` route
+        through the CHUNKED eval instead (train/loop.py) whose graph is
+        length-independent — a single warmup past that bound (~4.1k frames
+        at the default stride) covers ALL longer videos.
         """
         sr, fps = self.cfg.model.mel.sample_rate, self.cfg.data.fps
         for n in range(256, max_frames + 1, 256):
@@ -133,6 +151,7 @@ class Predictor:
         waveform: mono float32 at cfg.model.mel.sample_rate.
         Returns {"pred": [N, 2] float32 in [-1, 1]}.
         """
+        self._check_smooth(smooth_window)
         out = self.trainer.evaluate_video(
             self.state, self._video_dict(frames, waveform))
         return {"pred": postprocess(out["pred"], smooth_window=smooth_window)}
@@ -148,6 +167,7 @@ class Predictor:
         overlaps the current video's device compute. Yields
         (video_id, preds [N, 2]) in input order.
         """
+        self._check_smooth(smooth_window)
         prepared = ((vid, self._video_dict(v.get("frames"), v.get("waveform")))
                     for vid, v in videos)
         for vid, r in self.trainer.evaluate_stream(self.state, prepared,

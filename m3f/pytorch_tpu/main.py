@@ -24,6 +24,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import sys
 from typing import Dict, List
@@ -45,9 +46,14 @@ _PRESET_VARIANTS = {
     "lane": {"model.visual.mid_mode": "lane"},
     "s2d": {"model.visual.stem_s2d": True},
 }
+_VARIANT_COMBOS = [
+    "+".join(c)
+    for r in range(1, len(_PRESET_VARIANTS) + 1)
+    for c in itertools.permutations(sorted(_PRESET_VARIANTS), r)
+]
 _PRESET_CHOICES = sorted(PRESETS) + [p + "+" + v
                                      for p in sorted(PRESETS)
-                                     for v in ("lane", "s2d", "lane+s2d")]
+                                     for v in _VARIANT_COMBOS]
 
 
 def _parse_value(s: str):

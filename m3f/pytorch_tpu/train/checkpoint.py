@@ -101,6 +101,16 @@ def load_model_checkpoint(state, path: str):
             def subtree(template, prefix):
                 names = list(_flatten_with_paths(template)[0].keys())
                 flat, td = jax.tree_util.tree_flatten(template)
+                # extra-key detection stays (an architecturally RICHER
+                # checkpoint — e.g. SE branches — must not load silently
+                # into a smaller model); only opt_state/step are exempt
+                want = {f"{prefix}/{k}" if k else prefix for k in names}
+                have = {k for k in data if k.startswith(prefix + "/")}
+                if have - want:
+                    raise ValueError(
+                        f"checkpoint {path} has model leaves the eval model "
+                        f"lacks: {sorted(have - want)[:5]} — architecture "
+                        "mismatch")
                 out = []
                 for k, leaf in zip(names, flat):
                     fk = f"{prefix}/{k}" if k else prefix

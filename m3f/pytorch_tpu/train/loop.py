@@ -239,6 +239,48 @@ class Trainer:
             return preds
         return jax.jit(fwd)
 
+    def _win_bucket(self) -> int:
+        """Window-count granularity of eval dispatches: whole W-window
+        sequences, in groups the data axis divides evenly."""
+        n_data = self.mesh.shape.get("data", 1)
+        return self.cfg.window.windows_per_clip \
+            * (8 * n_data // math.gcd(8, n_data))
+
+    def _seq_sharding(self):
+        n_data = self.mesh.shape.get("data", 1)
+        return (NamedSharding(self.mesh, P("data")) if n_data > 1 else None)
+
+    def _windowed_forward(self, params, bn_state, starts, sample_starts,
+                          frames, wav):
+        """Traced helper shared by the fused and chunked eval jits: gather
+        each window's frames/samples ON DEVICE from start indices, group
+        into W-window sequences (sharded over the data axis when the mesh
+        has one), and run the model forward."""
+        mcfg = self.cfg.model
+        L = self.cfg.window.window_frames
+        W = self.cfg.window.windows_per_clip
+        spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
+        seq_sharding = self._seq_sharding()
+        n_win = starts.shape[0]
+        feed = {}
+        if frames is not None:
+            idx = starts[:, None] + jnp.arange(L)[None, :]     # [Nw, L]
+            win = frames[idx]                                  # [Nw, L, S, S, 3]
+            feed["video"] = win.reshape((n_win // W, W) + win.shape[1:])
+        if wav is not None:
+            sidx = sample_starts[:, None] + jnp.arange(spw)[None, :]
+            sw = wav[sidx]                                     # [Nw, spw]
+            feed["wav"] = sw.reshape(n_win // W, W, spw)
+        if seq_sharding is not None:
+            # C-P2: split the sequence batch across the mesh so the conv
+            # backbones run data-parallel; stitch happens replicated
+            feed = {k: jax.lax.with_sharding_constraint(v, seq_sharding)
+                    for k, v in feed.items()}
+        preds, _ = self.model.apply(
+            params, bn_state, video=feed.get("video"),
+            wav=feed.get("wav"), train=False)
+        return preds
+
     def make_video_eval_fn(self) -> Callable:
         """Whole-video eval in ONE jit call with ON-DEVICE windowing.
 
@@ -254,33 +296,12 @@ class Trainer:
         """
         mcfg = self.cfg.model
         L = self.cfg.window.window_frames
-        W = self.cfg.window.windows_per_clip
-        spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
-
-        n_data = self.mesh.shape.get("data", 1)
-        seq_sharding = (NamedSharding(self.mesh, P("data"))
-                        if n_data > 1 else None)
 
         def fn(params, bn_state, starts, sample_starts, win_valid,
                labels, frame_valid, n_real, frames=None, wav=None):
             n_win = starts.shape[0]
-            feed = {}
-            if frames is not None:
-                idx = starts[:, None] + jnp.arange(L)[None, :]     # [Nw, L]
-                win = frames[idx]                                  # [Nw, L, S, S, 3]
-                feed["video"] = win.reshape((n_win // W, W) + win.shape[1:])
-            if wav is not None:
-                sidx = sample_starts[:, None] + jnp.arange(spw)[None, :]
-                sw = wav[sidx]                                     # [Nw, spw]
-                feed["wav"] = sw.reshape(n_win // W, W, spw)
-            if seq_sharding is not None:
-                # C-P2: split the sequence batch across the mesh so the conv
-                # backbones run data-parallel; stitch happens replicated
-                feed = {k: jax.lax.with_sharding_constraint(v, seq_sharding)
-                        for k, v in feed.items()}
-            preds, _ = self.model.apply(
-                params, bn_state, video=feed.get("video"),
-                wav=feed.get("wav"), train=False)
+            preds = self._windowed_forward(params, bn_state, starts,
+                                           sample_starts, frames, wav)
             # stitch + clip + CCC fused into the SAME call — one device
             # round-trip per video (padded windows masked out of coverage)
             nf = labels.shape[0]
@@ -327,30 +348,12 @@ class Trainer:
         """
         mcfg = self.cfg.model
         L = self.cfg.window.window_frames
-        W = self.cfg.window.windows_per_clip
-        spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
-        n_data = self.mesh.shape.get("data", 1)
-        seq_sharding = (NamedSharding(self.mesh, P("data"))
-                        if n_data > 1 else None)
 
         def fn(params, bn_state, starts, sample_starts, win_valid,
                frames=None, wav=None):
             n_win = starts.shape[0]
-            feed = {}
-            if frames is not None:
-                idx = starts[:, None] + jnp.arange(L)[None, :]
-                win = frames[idx]
-                feed["video"] = win.reshape((n_win // W, W) + win.shape[1:])
-            if wav is not None:
-                sidx = sample_starts[:, None] + jnp.arange(spw)[None, :]
-                sw = wav[sidx]
-                feed["wav"] = sw.reshape(n_win // W, W, spw)
-            if seq_sharding is not None:
-                feed = {k: jax.lax.with_sharding_constraint(v, seq_sharding)
-                        for k, v in feed.items()}
-            preds, _ = self.model.apply(
-                params, bn_state, video=feed.get("video"),
-                wav=feed.get("wav"), train=False)
+            preds = self._windowed_forward(params, bn_state, starts,
+                                           sample_starts, frames, wav)
             if mcfg.per_frame:
                 win_preds = preds.reshape(n_win, L, -1)
                 return stitch_framewise_sums(win_preds, starts, local_nf,
@@ -403,12 +406,9 @@ class Trainer:
         # crosses the host↔device link exactly once; the host gets back only
         # [NF, 2] preds + 2 scalars.  Shapes are bucketed for compile reuse
         # across variable-length videos.
-        n_data = self.mesh.shape.get("data", 1)
         eval_fn = self._video_eval_fn or self.make_video_eval_fn()
         self._video_eval_fn = eval_fn
-        # sequence-group count must divide the data axis: bucket windows
-        # by lcm(8, n_data) sequences of W windows
-        win_bucket = W * (8 * n_data // math.gcd(8, n_data))
+        win_bucket = self._win_bucket()
         n_win_pad = -(-max(n_win, 1) // win_bucket) * win_bucket
         starts_padded = np.concatenate(
             [starts, np.repeat(starts[-1:], n_win_pad - n_win)])
@@ -461,9 +461,8 @@ class Trainer:
         sr = mcfg.mel.sample_rate
         fps = self.cfg.data.fps
         n = len(video["labels"])
-        n_data = self.mesh.shape.get("data", 1)
-        win_bucket = W * (8 * n_data // math.gcd(8, n_data))
-        M = -(-wcfg.eval_max_windows // win_bucket) * win_bucket
+        M = -(-wcfg.eval_max_windows // self._win_bucket()) \
+            * self._win_bucket()
         # any M consecutive starts span at most (M-1)·stride + L frames
         span = (M - 1) * wcfg.eval_stride + L
         local_nf = -(-span // 256) * 256 + L
@@ -497,6 +496,13 @@ class Trainer:
                               jnp.asarray(sub_p - f0, jnp.int32),
                               jnp.asarray(sstarts), jnp.asarray(wv), **kw)
             parts.append((f0, num_d, den_d))
+            # backpressure: fetch all but the 2 newest chunks' (small)
+            # outputs NOW, which syncs their dispatches — otherwise every
+            # chunk's ~100+ MB input buffer would sit in HBM at once,
+            # unbounding exactly the memory this path exists to bound
+            if len(parts) > 2:
+                g0, gn, gd = parts[-3]
+                parts[-3] = (g0, np.asarray(gn), np.asarray(gd))
         return ("chunked", n, local_nf, parts,
                 np.asarray(video["labels"], np.float32),
                 np.asarray(video["valid"], bool))

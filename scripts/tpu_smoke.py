@@ -45,9 +45,12 @@ def smoke_one(name: str) -> dict:
             cfg = apply_overrides(cfg, {"model.visual.stem_s2d": True})
         else:
             raise SystemExit(f"unknown preset variant {variant!r}")
-    # modest batch so every preset fits/compiles quickly; mesh = all devices
-    cfg = cfg.replace(train=cfg.train.__class__(
-        batch_size=2 * len(jax.devices()), mesh=cfg.train.mesh))
+    # modest batch so every preset fits/compiles quickly; dataclasses.replace
+    # keeps every other train field (rebuilding TrainConfig from scratch
+    # silently wiped the audio_only one_pass override above)
+    import dataclasses
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, batch_size=2 * len(jax.devices())))
     tr = Trainer(cfg)
     state = tr.init_state()
     step = tr.make_train_step()

@@ -136,3 +136,25 @@ def test_load_model_checkpoint_ignores_optimizer_layout(tmp_path):
         **small, "model.gru.num_layers": 2})
     with pytest.raises(ValueError, match="missing model leaf"):
         load_model_checkpoint(Trainer(bigger).init_state(), path)
+
+
+def test_load_model_checkpoint_rejects_extra_model_leaves(tmp_path):
+    """An architecturally RICHER checkpoint (extra model leaves, e.g. SE
+    branches) must not load silently into a smaller eval model."""
+    from m3f.pytorch_tpu.config import ExperimentConfig, apply_overrides
+    from m3f.pytorch_tpu.train.checkpoint import (load_model_checkpoint,
+                                                  save_pytree)
+    from m3f.pytorch_tpu.train.loop import Trainer
+    import jax
+    import pytest
+
+    small = {"model.audio.channels": [4, 8], "model.audio.feature_dim": 8,
+             "model.use_video": False, "model.gru.hidden_size": 8}
+    rich = apply_overrides(ExperimentConfig(), {
+        **small, "model.gru.num_layers": 2})
+    plain = apply_overrides(ExperimentConfig(), small)
+    st = Trainer(rich).init_state()
+    path = str(tmp_path / "ckpt_00000001.npz")
+    save_pytree(jax.device_get(st), path, {"step": 1})
+    with pytest.raises(ValueError, match="leaves the eval model lacks"):
+        load_model_checkpoint(Trainer(plain).init_state(), path)

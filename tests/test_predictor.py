@@ -227,3 +227,19 @@ def test_streaming_short_video_single_flush():
     assert len(a) == 0
     _, b = sess.flush()
     np.testing.assert_allclose(b, offline, rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_smoothing_guards():
+    """eval_smooth + smooth_window double-smoothing is rejected, and
+    streaming refuses eval_smooth (centered smoothing needs future frames)."""
+    import pytest
+    from m3f.pytorch_tpu.infer.predictor import Predictor
+
+    from m3f.pytorch_tpu.config import apply_overrides
+    p = Predictor(cfg=apply_overrides(tiny_cfg(use_video=False),
+                                      {"window.eval_smooth": 5}))
+    with pytest.raises(ValueError, match="smoothed twice"):
+        p.predict_video(waveform=np.zeros(32000, np.float32),
+                        smooth_window=5)
+    with pytest.raises(ValueError, match="streaming"):
+        p.stream()
