@@ -106,6 +106,40 @@ class AffWild2Dataset:
     def _crop_dir(self, video_id: str) -> str:
         return os.path.join(self.cfg.root, "cropped_aligned", video_id)
 
+    def num_frames(self, video_id: str) -> int:
+        """Frame count WITHOUT decoding any JPEG/audio — annotation row
+        count (train/val) or crop-dir/container scan (test). Lets the
+        exact-resume stream skip (data/windowing.py) fast-forward past a
+        video for the cost of one small text read."""
+        if self._ann_dir is None:
+            return self._test_frame_count(video_id)
+        with open(os.path.join(self._ann_dir, video_id + ".txt")) as f:
+            f.readline()  # header
+            return sum(1 for line in f if line.strip())
+
+    def _test_frame_count(self, video_id: str) -> int:
+        """Test-split timeline length: max crop stem (1-based 5-digit), or
+        the raw container's frame count when present — crop dropout at the
+        END of a video must not shorten the submission."""
+        crop_dir = self._crop_dir(video_id)
+        stems = [int(os.path.splitext(f)[0])
+                 for f in os.listdir(crop_dir)
+                 if f.endswith(".jpg") and os.path.splitext(f)[0].isdigit()]
+        n = max(stems) if stems else 0
+        for ext in (".mp4", ".avi", ".mkv"):
+            vp = os.path.join(self.cfg.root, "videos", video_id + ext)
+            if os.path.exists(vp):
+                try:
+                    import cv2
+                    cap = cv2.VideoCapture(vp)
+                    if cap.isOpened():
+                        n = max(n, int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+                    cap.release()
+                except Exception:
+                    pass
+                break
+        return n
+
     def load_video(self, video_id: str) -> Dict[str, np.ndarray]:
         """Same schema as SyntheticAVDataset.load_video.
 
@@ -116,30 +150,9 @@ class AffWild2Dataset:
 
         if self._ann_dir is None:
             # test split: no labels — frame count comes from the crop dir
-            # (1-based 5-digit numbering; max stem = frame count, so frames
-            # with missing crops in the middle still get timeline slots and
-            # the submission writer interpolates them)
-            crop_dir = self._crop_dir(video_id)
-            stems = [int(os.path.splitext(f)[0])
-                     for f in os.listdir(crop_dir)
-                     if f.endswith(".jpg") and os.path.splitext(f)[0].isdigit()]
-            n = max(stems) if stems else 0
-            # crop dropout at the END of the video (face leaves the frame)
-            # would silently shorten the submission; when the raw container
-            # is present under <root>/videos/, trust ITS frame count — the
-            # extra label-free tail frames get interpolated predictions
-            for ext in (".mp4", ".avi", ".mkv"):
-                vp = os.path.join(self.cfg.root, "videos", video_id + ext)
-                if os.path.exists(vp):
-                    try:
-                        import cv2
-                        cap = cv2.VideoCapture(vp)
-                        if cap.isOpened():
-                            n = max(n, int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
-                        cap.release()
-                    except Exception:
-                        pass
-                    break
+            # (frames with missing crops in the middle still get timeline
+            # slots and the submission writer interpolates them)
+            n = self._test_frame_count(video_id)
             labels = np.full((n, 2), INVALID_LABEL, dtype=np.float32)
             valid = np.ones(n, dtype=bool)
         else:

@@ -42,6 +42,10 @@ class SyntheticAVDataset:
     def video_ids(self):
         return [f"synth_{i:04d}" for i in range(self.num_videos)]
 
+    def num_frames(self, video_id: str) -> int:
+        """Cheap frame count (exact-resume stream skip, windowing.py)."""
+        return self.frames_per_video
+
     def load_video(self, video_id: str) -> Dict[str, np.ndarray]:
         """Returns frames uint8 [N,S,S,3], waveform f32 [T], labels f32 [N,2],
         valid bool [N]."""

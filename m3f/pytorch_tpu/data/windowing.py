@@ -97,9 +97,19 @@ def batch_examples(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarra
     return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
 
 
+def video_num_frames(dataset, video_id: str) -> int:
+    """Frame count of a video WITHOUT decoding it when the dataset can
+    (``num_frames`` protocol method); falls back to a full load."""
+    nf = getattr(dataset, "num_frames", None)
+    if nf is not None:
+        return nf(video_id)
+    return len(dataset.load_video(video_id)["labels"])
+
+
 def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
                    seed: int = 0, loop: bool = True,
-                   shuffle_buffer: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                   shuffle_buffer: int = 0,
+                   skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled (video, start) example stream → batched dict iterator.
 
     Loads one video at a time (videos are large); shuffles across the
@@ -108,29 +118,65 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     visited in random order either way, but without a buffer each batch is
     drawn from one video at a time). The C++/threaded prefetch loader
     (data/native_loader.Prefetcher) wraps this.
+
+    ``skip_batches`` fast-forwards the stream for EXACT training resume:
+    the stream yields precisely the batches an uninterrupted run would have
+    yielded from that point on (same RNG consumption, same examples).
+    Skipping is cheap — shuffling runs over (video, start) indices and a
+    skipped example is never decoded (frame counts come from
+    ``dataset.num_frames`` when available). The only decode cost is at the
+    skip boundary: up to ``shuffle_buffer`` reservoir entries produced
+    during the skip are materialized lazily as they are drawn.
     """
     rng = np.random.RandomState(seed)
     ids = dataset.video_ids()
     assert ids, "dataset has no videos"
 
-    def gen_examples():
+    def gen_indices():
+        # identical RNG call sequence to materialized iteration, but yields
+        # (video_index, start_frame) — decode is deferred to yield time
         while True:
             order = rng.permutation(len(ids))
             for vi in order:
-                video = dataset.load_video(ids[vi])
-                starts = sequencer.example_starts(len(video["labels"]))
+                starts = sequencer.example_starts(
+                    video_num_frames(dataset, ids[vi]))
                 rng.shuffle(starts)
                 for s in starts:
-                    yield sequencer.cut(video, s)
+                    yield (vi, s)
             if not loop:
                 return
 
-    gen = gen_examples()
+    # one-video decode cache: index pairs arrive grouped by video, so each
+    # video is decoded once per epoch (as the eager version did)
+    cache = {"vi": None, "video": None}
+
+    def cut(idx):
+        vi, s = idx
+        if cache["vi"] != vi:
+            cache["vi"], cache["video"] = vi, dataset.load_video(ids[vi])
+        return sequencer.cut(cache["video"], s)
+
+    emitted = 0          # completed batches so far, INCLUDING skipped ones
+    skipping = lambda: emitted < skip_batches
+
+    def finish_batch(batch):
+        nonlocal emitted
+        out = None
+        if not skipping():
+            # boundary entries pushed while skipping are still index pairs
+            out = batch_examples([cut(e) if isinstance(e, tuple) else e
+                                  for e in batch])
+        emitted += 1
+        return out
+
     # batch persists ACROSS epochs: an epoch smaller than batch_size must
     # keep accumulating, not discard and spin forever
-    batch: List[Dict[str, np.ndarray]] = []
-    pool: List[Dict[str, np.ndarray]] = []
-    for ex in gen:
+    batch: List = []
+    pool: List = []
+    for idx in gen_indices():
+        # while skipping, the reservoir holds undecoded index pairs; the
+        # steady state pushes materialized examples (same RNG either way)
+        ex = idx if skipping() else cut(idx)
         if shuffle_buffer > 1:
             pool.append(ex)
             if len(pool) < shuffle_buffer:
@@ -138,17 +184,22 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
             ex = pool.pop(rng.randint(len(pool)))
         batch.append(ex)
         if len(batch) == batch_size:
-            yield batch_examples(batch)
+            out = finish_batch(batch)
+            if out is not None:
+                yield out
             batch = []
     # drain (finite stream only)
     rng.shuffle(pool)
     for ex in pool:
         batch.append(ex)
         if len(batch) == batch_size:
-            yield batch_examples(batch)
+            out = finish_batch(batch)
+            if out is not None:
+                yield out
             batch = []
-    if batch:
-        yield batch_examples(batch)
+    if batch and not skipping():
+        yield batch_examples([cut(e) if isinstance(e, tuple) else e
+                              for e in batch])
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +219,9 @@ class SubsetDataset:
     def load_video(self, video_id: str):
         return self.base.load_video(video_id)
 
+    def num_frames(self, video_id: str) -> int:
+        return video_num_frames(self.base, video_id)
+
 
 def partition_video_ids(ids: List[str], process_index: int,
                         process_count: int) -> List[str]:
@@ -179,6 +233,7 @@ def partition_video_ids(ids: List[str], process_index: int,
 def process_sharded_stream(dataset, sequencer: WindowSequencer,
                            local_batch_size: int, *, seed: int = 0,
                            loop: bool = True, shuffle_buffer: int = 0,
+                           skip_batches: int = 0,
                            process_index: Optional[int] = None,
                            process_count: Optional[int] = None
                            ) -> Iterator[Dict[str, np.ndarray]]:
@@ -202,22 +257,32 @@ def process_sharded_stream(dataset, sequencer: WindowSequencer,
     if pc == 1:
         yield from example_stream(dataset, sequencer, local_batch_size,
                                   seed=seed, loop=loop,
-                                  shuffle_buffer=shuffle_buffer)
+                                  shuffle_buffer=shuffle_buffer,
+                                  skip_batches=skip_batches)
         return
     ids = dataset.video_ids()
     if len(ids) >= pc:
         sub = SubsetDataset(dataset, partition_video_ids(ids, pi, pc))
         yield from example_stream(sub, sequencer, local_batch_size,
                                   seed=seed + 1_000_003 * pi, loop=loop,
-                                  shuffle_buffer=shuffle_buffer)
+                                  shuffle_buffer=shuffle_buffer,
+                                  skip_batches=skip_batches)
         return
+    # tiny-dataset fallback (fewer videos than processes): example-level
+    # interleave. skip here drops formed local batches — materialization
+    # cost is bounded by the dataset being tiny by definition of this path
     src = example_stream(dataset, sequencer, 1, seed=seed, loop=loop,
                          shuffle_buffer=shuffle_buffer)
     batch: List[Dict[str, np.ndarray]] = []
+    skipped = 0
     for i, b in enumerate(src):
         if i % pc != pi:
             continue
         batch.append(b)
         if len(batch) == local_batch_size:
-            yield {k: np.concatenate([x[k] for x in batch]) for k in batch[0]}
+            if skipped < skip_batches:
+                skipped += 1
+            else:
+                yield {k: np.concatenate([x[k] for x in batch])
+                       for k in batch[0]}
             batch = []

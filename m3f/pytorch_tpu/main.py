@@ -115,11 +115,17 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
         raise SystemExit(f"train.batch_size={cfg.train.batch_size} must be "
                          f"divisible by process_count={pc}")
     from m3f.pytorch_tpu.data.native_loader import Prefetcher
-    stream = Prefetcher(
-        process_sharded_stream(ds, seq, cfg.train.batch_size // pc,
-                               seed=cfg.train.seed,
-                               shuffle_buffer=cfg.data.shuffle_buffer),
-        depth=cfg.data.prefetch)
+
+    # factory form: fit() calls this AFTER checkpoint restore with the
+    # restored step, so a resumed run's data stream fast-forwards to the
+    # exact position the uninterrupted run would be at
+    def stream(skip_batches: int = 0):
+        return Prefetcher(
+            process_sharded_stream(ds, seq, cfg.train.batch_size // pc,
+                                   seed=cfg.train.seed,
+                                   shuffle_buffer=cfg.data.shuffle_buffer,
+                                   skip_batches=skip_batches),
+            depth=cfg.data.prefetch)
     # eval-during-training is the DEFAULT (best-checkpoint tracking + early
     # stopping depend on it, reference C8); --no-eval opts out
     val = None if args.no_eval else make_dataset(cfg, "val")

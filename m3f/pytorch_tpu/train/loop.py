@@ -581,10 +581,15 @@ class Trainer:
 
     # -- fit ---------------------------------------------------------------
 
-    def fit(self, train_stream: Iterator[Dict[str, np.ndarray]],
+    def fit(self, train_stream,
             val_dataset=None, num_steps: Optional[int] = None,
             log: Callable[[str], None] = print,
             checkpointer=None, metric_writer=None) -> Tuple[TrainState, Dict]:
+        """``train_stream`` is a batch iterator, or a CALLABLE
+        ``factory(skip_batches) -> iterator`` — the factory form is invoked
+        AFTER checkpoint restore with the restored step count, so a resumed
+        run consumes exactly the batches the uninterrupted run would have
+        (exact-resume contract; see data/windowing.py example_stream)."""
         tcfg = self.cfg.train
         num_steps = num_steps or tcfg.num_steps
         state = self.init_state()
@@ -597,6 +602,8 @@ class Trainer:
         seen = 0
         use_a, use_v = self.cfg.model.use_audio, self.cfg.model.use_video
         start_step = int(state.step)
+        if callable(train_stream) and not hasattr(train_stream, "__next__"):
+            train_stream = train_stream(start_step)
         profiling = False
         for i in range(start_step, num_steps):
             if tcfg.profile_dir and i == start_step + 2 and not profiling:

@@ -1,0 +1,178 @@
+"""Exact-resume data streaming (checkpoint/resume subsystem, SURVEY §5).
+
+The contract: ``example_stream(..., skip_batches=k)`` yields EXACTLY the
+batches an uninterrupted stream yields after its first k — same shuffle
+order, same examples — without decoding the skipped examples. End-to-end,
+``fit(stream_factory)`` therefore makes "train N steps" and "train k steps,
+crash, resume, train N-k more" produce identical final parameters.
+
+The reference family has no such guarantee (Lightning restarts the epoch on
+resume); this is a designed property of the rebuild, not a port.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from m3f.pytorch_tpu.config import (AudioNetConfig, DataConfig,
+                                    ExperimentConfig, GRUConfig, MeshConfig,
+                                    ModelConfig, OptimConfig, TrainConfig,
+                                    WindowConfig)
+from m3f.pytorch_tpu.data.synthetic import SyntheticAVDataset
+from m3f.pytorch_tpu.data.windowing import (WindowSequencer, example_stream,
+                                            process_sharded_stream,
+                                            video_num_frames)
+from m3f.pytorch_tpu.train.checkpoint import Checkpointer
+from m3f.pytorch_tpu.train.loop import Trainer
+
+
+def _ds_seq(num_videos=3, frames=120):
+    cfg = DataConfig(synthetic_num_videos=num_videos,
+                     synthetic_video_frames=frames, image_size=8)
+    from m3f.pytorch_tpu.config import MelConfig
+    mel = MelConfig()
+    ds = SyntheticAVDataset(cfg, mel)
+    seq = WindowSequencer(WindowConfig(windows_per_clip=2), mel)
+    return ds, seq
+
+
+def _assert_batches_equal(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert sorted(x) == sorted(y)
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+
+
+@pytest.mark.parametrize("shuffle_buffer", [0, 7])
+@pytest.mark.parametrize("skip", [1, 3])
+def test_skip_equals_islice_finite(shuffle_buffer, skip):
+    ds, seq = _ds_seq()
+    full = list(example_stream(ds, seq, 2, seed=3, loop=False,
+                               shuffle_buffer=shuffle_buffer))
+    assert len(full) > skip
+    skipped = list(example_stream(ds, seq, 2, seed=3, loop=False,
+                                  shuffle_buffer=shuffle_buffer,
+                                  skip_batches=skip))
+    _assert_batches_equal(skipped, full[skip:])
+
+
+@pytest.mark.parametrize("shuffle_buffer", [0, 5])
+def test_skip_equals_islice_looping(shuffle_buffer):
+    ds, seq = _ds_seq(num_videos=2, frames=64)
+    # skip past an epoch boundary to exercise the cross-epoch RNG state
+    n_epoch = len(list(example_stream(ds, seq, 2, seed=1, loop=False)))
+    skip = n_epoch + 1
+    full = list(itertools.islice(
+        example_stream(ds, seq, 2, seed=1, loop=True,
+                       shuffle_buffer=shuffle_buffer), skip + 4))
+    skipped = list(itertools.islice(
+        example_stream(ds, seq, 2, seed=1, loop=True,
+                       shuffle_buffer=shuffle_buffer, skip_batches=skip), 4))
+    _assert_batches_equal(skipped, full[skip:])
+
+
+def test_skip_does_not_decode(monkeypatch):
+    """Skipped examples must not cost a video decode (num_frames protocol)."""
+    ds, seq = _ds_seq(num_videos=4, frames=48)
+    loads = []
+    orig = SyntheticAVDataset.load_video
+
+    def counting(self, vid):
+        loads.append(vid)
+        return orig(self, vid)
+
+    monkeypatch.setattr(SyntheticAVDataset, "load_video", counting)
+    n_epoch = len(list(example_stream(ds, seq, 2, seed=0, loop=False)))
+    loads.clear()
+    # skip a whole epoch: no decodes until the first yielded batch's videos
+    it = example_stream(ds, seq, 2, seed=0, loop=True, skip_batches=n_epoch)
+    next(it)
+    assert len(loads) <= 2, f"skip decoded videos it should not: {loads}"
+
+
+def test_num_frames_matches_load(tmp_path):
+    ds, _ = _ds_seq()
+    for vid in ds.video_ids():
+        assert video_num_frames(ds, vid) == len(ds.load_video(vid)["labels"])
+
+    from test_affwild2_integration import make_fake_abaw, tiny_cfg
+    root = str(tmp_path / "abaw")
+    make_fake_abaw(root, {"vidA": 40, "vidB": 44})
+    cfg = tiny_cfg(root)
+    from m3f.pytorch_tpu.data.affwild2 import AffWild2Dataset
+    ads = AffWild2Dataset(cfg.data, cfg.model.mel, split="train")
+    for vid in ads.video_ids():
+        assert ads.num_frames(vid) == len(ads.load_video(vid)["labels"])
+
+
+@pytest.mark.parametrize("pc", [2, 5])
+def test_skip_process_sharded(pc):
+    """Both partitioning regimes honor skip (video-subset and the
+    tiny-dataset example-interleave fallback at pc=5 > 3 videos)."""
+    ds, seq = _ds_seq(num_videos=3, frames=72)
+    for pi in range(pc):
+        kw = dict(seed=2, loop=False, process_index=pi, process_count=pc)
+        full = list(process_sharded_stream(ds, seq, 1, **kw))
+        if len(full) < 2:
+            continue
+        skipped = list(process_sharded_stream(ds, seq, 1, skip_batches=1,
+                                              **kw))
+        _assert_batches_equal(skipped, full[1:])
+
+
+def _tiny_cfg(num_steps, ckpt_dir):
+    return ExperimentConfig(
+        name="resume_exact",
+        model=ModelConfig(
+            use_audio=True, use_video=False,
+            audio=AudioNetConfig(channels=(8, 16), feature_dim=16),
+            gru=GRUConfig(hidden_size=16),
+        ),
+        window=WindowConfig(windows_per_clip=2),
+        data=DataConfig(synthetic_num_videos=2, synthetic_video_frames=96,
+                        image_size=16),
+        train=TrainConfig(batch_size=4, num_steps=num_steps, log_every=100,
+                          eval_every=10_000, checkpoint_every=10_000,
+                          checkpoint_dir=ckpt_dir,
+                          optim=OptimConfig(learning_rate=3e-3),
+                          mesh=MeshConfig(num_data=1)),
+    )
+
+
+def test_exact_resume_end_to_end(tmp_path):
+    """train 6 == train 3 + crash + resume 3, to the bit pattern of the
+    final parameters (CPU: deterministic kernels, deterministic stream)."""
+    import jax
+
+    def factory_for(cfg):
+        ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+        seq = WindowSequencer(cfg.window, cfg.model.mel,
+                              mel_frames=cfg.model.audio.mel_frames_per_window)
+        return lambda skip: example_stream(ds, seq, cfg.train.batch_size,
+                                           seed=7, skip_batches=skip)
+
+    # run A: 6 uninterrupted steps
+    cfg_a = _tiny_cfg(6, str(tmp_path / "a"))
+    tr_a = Trainer(cfg_a)
+    state_a, _ = tr_a.fit(factory_for(cfg_a), log=lambda s: None)
+
+    # run B: 3 steps, checkpoint, fresh Trainer resumes for 3 more
+    cfg_b3 = _tiny_cfg(3, str(tmp_path / "b"))
+    tr_b = Trainer(cfg_b3)
+    ck = Checkpointer(cfg_b3.train.checkpoint_dir, keep=2, cfg=cfg_b3)
+    state_b, _ = tr_b.fit(factory_for(cfg_b3), log=lambda s: None,
+                          checkpointer=ck)
+    ck.save(state_b)
+
+    cfg_b6 = _tiny_cfg(6, str(tmp_path / "b"))
+    tr_b2 = Trainer(cfg_b6)
+    ck2 = Checkpointer(cfg_b6.train.checkpoint_dir, keep=2, cfg=cfg_b6)
+    state_b6, _ = tr_b2.fit(factory_for(cfg_b6), log=lambda s: None,
+                            checkpointer=ck2)
+
+    assert int(state_b6.step) == int(state_a.step) == 6
+    pa = jax.device_get(state_a.params)
+    pb = jax.device_get(state_b6.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
