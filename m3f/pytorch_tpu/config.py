@@ -248,6 +248,12 @@ class TrainConfig:
     # remote TPU backend; see ops/ccc.py and BASELINE.md). Excluded from the
     # semantic config hash.
     ccc_stats: str = "two_pass"
+    # Exponential moving average of the params, updated every step
+    # (shadow ← shadow·d + params·(1−d); 0 = off). When enabled, eval and
+    # best-checkpoint selection use the EMA shadow — serving-quality weights
+    # at no extra training cost (complements scripts/average_checkpoints.py,
+    # which averages discrete checkpoints after the fact).
+    ema_decay: float = 0.0
     optim: OptimConfig = field(default_factory=OptimConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
@@ -303,6 +309,11 @@ class ExperimentConfig:
         }
         if "mse" in self.train.loss:
             semantic["mse_weight"] = self.train.mse_weight
+        if self.train.ema_decay:
+            # EMA adds a params-shaped shadow to the TrainState — toggling
+            # it across a resume is a layout change, not a legal resume.
+            # Conditional so hashes of EMA-off configs stay byte-identical.
+            semantic["ema_decay"] = self.train.ema_decay
         return hashlib.sha256(
             json.dumps(semantic, sort_keys=True).encode()
         ).hexdigest()[:16]

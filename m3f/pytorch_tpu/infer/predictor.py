@@ -49,6 +49,9 @@ class Predictor:
         if checkpoint:
             from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
             self.state = load_model_checkpoint(self.state, checkpoint)
+        # serving uses the EMA shadow when the checkpoint carries one
+        # (idempotent; streaming reads state.params directly)
+        self.state = self.trainer.eval_state(self.state)
 
     def _eval_forward(self):
         if self._fwd is None:

@@ -122,8 +122,16 @@ def load_model_checkpoint(state, path: str):
                 return jax.tree_util.tree_unflatten(td, out)
 
             step_key = ".step" if ".step" in data else "step"
+            # a checkpoint trained with train.ema_decay carries an EMA
+            # shadow under ".ema/" — prefer it for eval (that is what the
+            # shadow is for; best-checkpoint selection scored it)
+            params_tpl = jax.device_get(state.params)
+            params_prefix = ".ema" if any(
+                k.startswith(".ema/") for k in data) else ".params"
+            params = subtree(params_tpl, params_prefix)
             return state._replace(
-                params=subtree(jax.device_get(state.params), ".params"),
+                params=params,
+                ema=None if state.ema is None else params,
                 bn_state=subtree(jax.device_get(state.bn_state), ".bn_state"),
                 step=data[step_key].reshape(
                     np.asarray(state.step).shape).astype(

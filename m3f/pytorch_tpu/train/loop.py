@@ -46,6 +46,9 @@ class TrainState(NamedTuple):
     bn_state: Any
     opt_state: Any
     step: jnp.ndarray
+    # EMA shadow of params (train.ema_decay > 0) or None. None flattens to
+    # zero pytree leaves, so EMA-off checkpoints keep the historical layout.
+    ema: Any = None
 
 
 class BestTracker:
@@ -155,7 +158,12 @@ class Trainer:
             params, bn_state = load_pretrained_init(
                 params, bn_state, self.cfg.model.init_from)
         opt_state = self.tx.init(params)
-        state = TrainState(params, bn_state, opt_state, jnp.zeros((), jnp.int32))
+        # EMA shadow starts equal to the init params (no debiasing needed);
+        # jnp.copy: distinct buffers so step-donation never aliases leaves
+        ema = (jax.tree_util.tree_map(jnp.copy, params)
+               if self.cfg.train.ema_decay > 0 else None)
+        state = TrainState(params, bn_state, opt_state,
+                           jnp.zeros((), jnp.int32), ema)
         # replicated everywhere with num_model == 1; TP layout (GRU
         # column-parallel, head row-parallel) when the mesh has a model axis
         return jax.device_put(state, state_shardings(self.mesh, state))
@@ -213,7 +221,14 @@ class Trainer:
                     preds, batch["labels"], batch["mask"],
                     one_pass=self.cfg.train.ccc_stats == "one_pass"),
             }
-            new_state = TrainState(new_params, new_bn, new_opt, state.step + 1)
+            new_ema = state.ema
+            if state.ema is not None:
+                d = self.cfg.train.ema_decay
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    state.ema, new_params)
+            new_state = TrainState(new_params, new_bn, new_opt,
+                                   state.step + 1, new_ema)
             if tp:
                 # pin the TP layout on the outputs so the state's sharding is
                 # stationary across steps (donation requires in == out)
@@ -228,6 +243,16 @@ class Trainer:
         return jax.jit(step, donate_argnums=0,
                        in_shardings=(rep, bsh),
                        out_shardings=(rep, rep))
+
+    def eval_state(self, state: TrainState) -> TrainState:
+        """State whose params are the EMA shadow when EMA is enabled.
+
+        Idempotent (params == ema afterwards), applied automatically by
+        every whole-video eval dispatch — the EMA shadow exists FOR eval.
+        """
+        if state.ema is not None:
+            return state._replace(params=state.ema)
+        return state
 
     def make_eval_forward(self) -> Callable:
         """Jitted eval forward: window-sequence batch → per-window preds."""
@@ -387,6 +412,7 @@ class Trainer:
         transfer (the bottleneck on a remote-tunnel host) overlaps the
         current video's compute. ``_collect_eval`` fetches the results.
         """
+        state = self.eval_state(state)
         wcfg = self.cfg.window
         mcfg = self.cfg.model
         n = len(video["labels"])

@@ -1,0 +1,136 @@
+"""EMA weight averaging (train.ema_decay): shadow math, eval routing,
+checkpoint layout, and semantic-hash behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from m3f.pytorch_tpu.config import (AudioNetConfig, DataConfig,
+                                    ExperimentConfig, GRUConfig, MeshConfig,
+                                    ModelConfig, OptimConfig, TrainConfig,
+                                    WindowConfig)
+from m3f.pytorch_tpu.data.synthetic import SyntheticAVDataset
+from m3f.pytorch_tpu.data.windowing import WindowSequencer, example_stream
+from m3f.pytorch_tpu.train.checkpoint import (Checkpointer,
+                                              load_model_checkpoint,
+                                              save_pytree)
+from m3f.pytorch_tpu.train.loop import Trainer
+
+
+def _cfg(ema_decay=0.5, num_steps=3, ckpt_dir="/tmp/m3f_ema"):
+    return ExperimentConfig(
+        name="ema_t",
+        model=ModelConfig(
+            use_audio=True, use_video=False,
+            audio=AudioNetConfig(channels=(8, 16), feature_dim=16),
+            gru=GRUConfig(hidden_size=16),
+        ),
+        window=WindowConfig(windows_per_clip=2),
+        data=DataConfig(synthetic_num_videos=2, synthetic_video_frames=96,
+                        image_size=16),
+        train=TrainConfig(batch_size=4, num_steps=num_steps, log_every=100,
+                          eval_every=10_000, checkpoint_every=10_000,
+                          checkpoint_dir=ckpt_dir, ema_decay=ema_decay,
+                          optim=OptimConfig(learning_rate=3e-3),
+                          mesh=MeshConfig(num_data=1)),
+    )
+
+
+def _stream(cfg):
+    ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+    seq = WindowSequencer(cfg.window, cfg.model.mel,
+                          mel_frames=cfg.model.audio.mel_frames_per_window)
+    return example_stream(ds, seq, cfg.train.batch_size, seed=5)
+
+
+def test_ema_shadow_math():
+    """state.ema follows e ← e·d + p·(1−d) over the actual param path."""
+    cfg = _cfg(ema_decay=0.5)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    step = tr.make_train_step()
+    from m3f.pytorch_tpu.parallel.mesh import shard_batch
+
+    expected = jax.device_get(state.params)  # ema starts equal to init
+    d = cfg.train.ema_decay
+    stream = _stream(cfg)
+    for _ in range(3):
+        batch = shard_batch(tr.mesh, next(stream))
+        state, _ = step(state, batch)
+        p = jax.device_get(state.params)
+        expected = jax.tree_util.tree_map(
+            lambda e, q: e * d + q * (1.0 - d), expected, p)
+    got = jax.device_get(state.ema)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        expected, got)
+    # shadow must differ from the raw params (it is lagging them)
+    flat_p = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    flat_e = jax.tree_util.tree_leaves(got)
+    assert any(np.abs(a - b).max() > 0 for a, b in zip(flat_p, flat_e))
+
+
+def test_eval_uses_ema_shadow():
+    """evaluate_video on an EMA state == evaluating the shadow as params."""
+    cfg = _cfg(ema_decay=0.9)
+    tr = Trainer(cfg)
+    state, _ = tr.fit(_stream(cfg), log=lambda s: None)
+
+    ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+    video = ds.load_video(ds.video_ids()[0])
+    r_ema = tr.evaluate_video(state, video)
+
+    cfg_off = _cfg(ema_decay=0.0)
+    tr_off = Trainer(cfg_off)
+    state_off = tr_off.init_state()._replace(
+        params=jax.device_get(state.ema),
+        bn_state=jax.device_get(state.bn_state))
+    r_shadow = tr_off.evaluate_video(state_off, video)
+    np.testing.assert_allclose(r_ema["pred"], r_shadow["pred"],
+                               rtol=1e-5, atol=1e-6)
+
+    # and it is NOT what the raw params would produce
+    state_raw = tr_off.init_state()._replace(
+        params=jax.device_get(state.params),
+        bn_state=jax.device_get(state.bn_state))
+    r_raw = tr_off.evaluate_video(state_raw, video)
+    assert np.abs(r_raw["pred"] - r_ema["pred"]).max() > 1e-7
+
+
+def test_ema_checkpoint_roundtrip_and_eval_preference(tmp_path):
+    cfg = _cfg(ema_decay=0.8, ckpt_dir=str(tmp_path))
+    tr = Trainer(cfg)
+    state, _ = tr.fit(_stream(cfg), log=lambda s: None)
+    ck = Checkpointer(str(tmp_path), keep=2, cfg=cfg)
+    ck.save(state)
+
+    # full resume restores the shadow exactly
+    restored = ck.maybe_restore(Trainer(cfg).init_state(), Trainer(cfg))
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal,
+        jax.device_get(state.ema), jax.device_get(restored.ema))
+
+    # model-only eval loading prefers the EMA shadow as the weights
+    import glob
+    path = sorted(glob.glob(str(tmp_path / "ckpt_*.npz")))[-1]
+    loaded = load_model_checkpoint(Trainer(cfg).init_state(), path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b,
+                                                rtol=1e-6, atol=1e-7),
+        jax.device_get(state.ema), jax.device_get(loaded.params))
+
+
+def test_ema_off_keeps_layout_and_hash():
+    """ema_decay=0 leaves checkpoints and config hashes byte-identical to
+    the historical EMA-less layout."""
+    base = _cfg(ema_decay=0.0)
+    assert base.config_hash() == _cfg(ema_decay=0.0).config_hash()
+    assert base.config_hash() != _cfg(ema_decay=0.99).config_hash()
+
+    tr = Trainer(base)
+    state = tr.init_state()
+    assert state.ema is None
+    from m3f.pytorch_tpu.train.checkpoint import _flatten_with_paths
+    keys = _flatten_with_paths(jax.device_get(state))[0].keys()
+    assert not any(k.startswith(".ema") for k in keys)
