@@ -134,3 +134,31 @@ def test_tp_checkpoint_roundtrip(tmp_path):
     assert g.sharding.spec == P(None, "model")
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_ema_shadow_sharded_and_matches_single_device():
+    """EMA shadow under dp×tp: sharded like the params (path-tail rules)
+    and numerically equal to the single-device shadow."""
+    import dataclasses
+
+    def with_ema(cfg):
+        return cfg.replace(train=dataclasses.replace(cfg.train,
+                                                     ema_decay=0.5))
+
+    cfg_tp, cfg_1 = with_ema(tiny_cfg(4, 2)), with_ema(tiny_cfg(1, 1))
+    tr1 = Trainer(cfg_1)
+    tr1.mesh = create_mesh(1, 1, devices=jax.devices()[:1])
+    trp = Trainer(cfg_tp)
+    s1, sp = tr1.init_state(), trp.init_state()
+    assert sp.ema["gru"]["layers"][0]["fwd"]["w_ih"].sharding.spec \
+        == P(None, "model")
+    assert sp.ema["head"]["kernel"].sharding.spec == P("model", None)
+
+    step1, stepp = tr1.make_train_step(), trp.make_train_step()
+    for i in range(2):
+        batch = make_batch(cfg_1, seed=i)
+        s1, _ = step1(s1, shard_batch(tr1.mesh, batch))
+        sp, _ = stepp(sp, shard_batch(trp.mesh, batch))
+    for a, b in zip(jax.tree.leaves(s1.ema), jax.tree.leaves(sp.ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
