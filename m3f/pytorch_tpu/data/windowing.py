@@ -132,29 +132,40 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     ids = dataset.video_ids()
     assert ids, "dataset has no videos"
 
+    # one-video decode cache: index pairs arrive grouped by video, so each
+    # video is decoded once per epoch (as the eager version did). Shared
+    # with the num_frames fallback so a duck-typed dataset WITHOUT the
+    # num_frames protocol still decodes each video once, not twice.
+    cache = {"vi": None, "video": None}
+
+    def load(vi):
+        if cache["vi"] != vi:
+            cache["vi"], cache["video"] = vi, dataset.load_video(ids[vi])
+        return cache["video"]
+
+    has_nf = getattr(dataset, "num_frames", None) is not None
+
+    def nf(vi):
+        if has_nf:
+            return dataset.num_frames(ids[vi])
+        return len(load(vi)["labels"])
+
     def gen_indices():
         # identical RNG call sequence to materialized iteration, but yields
         # (video_index, start_frame) — decode is deferred to yield time
         while True:
             order = rng.permutation(len(ids))
             for vi in order:
-                starts = sequencer.example_starts(
-                    video_num_frames(dataset, ids[vi]))
+                starts = sequencer.example_starts(nf(vi))
                 rng.shuffle(starts)
                 for s in starts:
                     yield (vi, s)
             if not loop:
                 return
 
-    # one-video decode cache: index pairs arrive grouped by video, so each
-    # video is decoded once per epoch (as the eager version did)
-    cache = {"vi": None, "video": None}
-
     def cut(idx):
         vi, s = idx
-        if cache["vi"] != vi:
-            cache["vi"], cache["video"] = vi, dataset.load_video(ids[vi])
-        return sequencer.cut(cache["video"], s)
+        return sequencer.cut(load(vi), s)
 
     emitted = 0          # completed batches so far, INCLUDING skipped ones
     skipping = lambda: emitted < skip_batches
@@ -197,9 +208,10 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
             if out is not None:
                 yield out
             batch = []
-    if batch and not skipping():
-        yield batch_examples([cut(e) if isinstance(e, tuple) else e
-                              for e in batch])
+    if batch:
+        out = finish_batch(batch)
+        if out is not None:
+            yield out
 
 
 # ---------------------------------------------------------------------------

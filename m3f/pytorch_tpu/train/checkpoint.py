@@ -139,7 +139,12 @@ def load_model_checkpoint(state, path: str):
     tpl = {"params": jax.device_get(state.params),
            "state": jax.device_get(state.bn_state)}
     loaded = load_pytree(tpl, path)
-    return state._replace(params=loaded["params"], bn_state=loaded["state"])
+    return state._replace(
+        params=loaded["params"],
+        # refresh the shadow too — otherwise an EMA-enabled eval config
+        # would serve the init_state copy of RANDOM weights via eval_state
+        ema=None if state.ema is None else loaded["params"],
+        bn_state=loaded["state"])
 
 
 def load_pretrained_init(params, bn_state, path: str):

@@ -137,6 +137,11 @@ class Trainer:
     cfg: ExperimentConfig
 
     def __post_init__(self):
+        d = self.cfg.train.ema_decay
+        if not 0.0 <= d < 1.0:
+            # d == 1.0 would freeze the shadow at random init and every
+            # eval would silently score untrained weights
+            raise ValueError(f"train.ema_decay must be in [0, 1), got {d}")
         self.model = M3F(self.cfg.model)
         self.tx = make_optimizer(self.cfg.train.optim, self.cfg.train.num_steps)
         self.mesh = create_mesh(self.cfg.train.mesh.num_data,
@@ -224,9 +229,22 @@ class Trainer:
             new_ema = state.ema
             if state.ema is not None:
                 d = self.cfg.train.ema_decay
-                new_ema = jax.tree_util.tree_map(
-                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
-                    state.ema, new_params)
+                if self.cfg.train.optim.accumulate_steps > 1:
+                    # update the shadow only when MultiSteps actually applied
+                    # an optimizer update (mini_step wrapped to 0) — decaying
+                    # every micro-step would compound to d^k per real update
+                    # and silently shrink the averaging horizon k-fold
+                    # MultiSteps wraps the whole chain: opt_state IS a
+                    # MultiStepsState; mini_step wraps to 0 on application
+                    applied = new_opt.mini_step == 0
+                    new_ema = jax.tree_util.tree_map(
+                        lambda e, p: jnp.where(
+                            applied, e * d + p.astype(e.dtype) * (1.0 - d), e),
+                        state.ema, new_params)
+                else:
+                    new_ema = jax.tree_util.tree_map(
+                        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                        state.ema, new_params)
             new_state = TrainState(new_params, new_bn, new_opt,
                                    state.step + 1, new_ema)
             if tp:

@@ -34,10 +34,15 @@ def model_leaves(path: str) -> dict:
     """
     with np.load(path) as z:
         data = {k: z[k] for k in z.files if k != "__meta__"}
+    # a train.ema_decay checkpoint carries an EMA shadow under ".ema/" —
+    # those are the weights every eval/best-selection scored, so THEY are
+    # what gets averaged (raw ".params/" are the lagging online weights)
+    params_prefix = ".ema/" if any(k.startswith(".ema/") for k in data) \
+        else ".params/"
     out = {}
     for k, v in data.items():
-        if k.startswith(".params/"):
-            out["params/" + k[len(".params/"):]] = v
+        if k.startswith(params_prefix):
+            out["params/" + k[len(params_prefix):]] = v
         elif k.startswith(".bn_state/"):
             out["state/" + k[len(".bn_state/"):]] = v
         elif k.startswith(("params/", "state/")):

@@ -55,8 +55,11 @@ def main(argv=None) -> int:
         return node
 
     # Trainer checkpoints flatten the TrainState NamedTuple as ".params/…"
-    # and ".bn_state/…"; the import script's pytree uses "params/…"/"state/…"
-    for pp, sp in ((".params/", ".bn_state/"), ("params/", "state/")):
+    # and ".bn_state/…"; the import script's pytree uses "params/…"/"state/…".
+    # ".ema/" (train.ema_decay shadow) wins over raw ".params/": the shadow
+    # is what every reported eval number and the Predictor actually used.
+    for pp, sp in ((".ema/", ".bn_state/"), (".params/", ".bn_state/"),
+                   ("params/", "state/")):
         if any(k.startswith(pp) for k in flat):
             params, state = assemble(pp), assemble(sp)
             break

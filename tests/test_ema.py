@@ -134,3 +134,101 @@ def test_ema_off_keeps_layout_and_hash():
     from m3f.pytorch_tpu.train.checkpoint import _flatten_with_paths
     keys = _flatten_with_paths(jax.device_get(state))[0].keys()
     assert not any(k.startswith(".ema") for k in keys)
+
+
+def test_ema_rejects_invalid_decay():
+    with pytest.raises(ValueError, match="ema_decay"):
+        Trainer(_cfg(ema_decay=1.0))
+    with pytest.raises(ValueError, match="ema_decay"):
+        Trainer(_cfg(ema_decay=-0.1))
+
+
+def test_ema_grad_accum_updates_on_boundaries_only():
+    """With accumulate_steps=k the shadow moves only when the optimizer
+    actually applies an update — decay is d per UPDATE, not d^k."""
+    import dataclasses
+
+    cfg = _cfg(ema_decay=0.5)
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, optim=dataclasses.replace(cfg.train.optim,
+                                             accumulate_steps=2)))
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    step = tr.make_train_step()
+    from m3f.pytorch_tpu.parallel.mesh import shard_batch
+
+    init_ema = jax.device_get(state.ema)
+    stream = _stream(cfg)
+    # micro-step 1: no optimizer update — shadow must not move
+    state, _ = step(state, shard_batch(tr.mesh, next(stream)))
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, init_ema, jax.device_get(state.ema))
+    # micro-step 2: boundary — exactly one e←e·d+p·(1−d) application
+    state, _ = step(state, shard_batch(tr.mesh, next(stream)))
+    d = cfg.train.ema_decay
+    expected = jax.tree_util.tree_map(
+        lambda e, p: e * d + p * (1.0 - d),
+        init_ema, jax.device_get(state.params))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        expected, jax.device_get(state.ema))
+
+
+def test_import_layout_checkpoint_refreshes_ema(tmp_path):
+    """{params,state} import-layout checkpoints must refresh the shadow —
+    otherwise an EMA-enabled eval config serves stale random-init weights."""
+    cfg = _cfg(ema_decay=0.9)
+    tr = Trainer(cfg)
+    donor = Trainer(_cfg(ema_decay=0.9)).init_state()
+    # an import-script-style model-only npz with DIFFERENT weights
+    donor_params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) + 1.0, jax.device_get(donor.params))
+    path = str(tmp_path / "imported.npz")
+    save_pytree({"params": donor_params,
+                 "state": jax.device_get(donor.bn_state)}, path)
+    loaded = load_model_checkpoint(tr.init_state(), path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b,
+                                                rtol=1e-6, atol=1e-7),
+        jax.device_get(loaded.ema), donor_params)
+
+
+def test_average_checkpoints_prefers_ema_shadow(tmp_path):
+    """SWA over EMA checkpoints averages the shadow (the weights every
+    eval scored), not the raw lagging params."""
+    import subprocess
+    import sys
+
+    cfg = _cfg(ema_decay=0.9)
+    paths = []
+    emas = []
+    for i in range(2):
+        tr = Trainer(cfg)
+        st = tr.init_state(seed=i)
+        # make params and ema visibly different
+        st = st._replace(ema=jax.tree_util.tree_map(
+            lambda x: np.asarray(x) + 2.0, jax.device_get(st.params)))
+        p = str(tmp_path / f"ckpt_{i}.npz")
+        save_pytree(jax.device_get(st), p, {"step": i})
+        paths.append(p)
+        emas.append(jax.device_get(st.ema))
+    out = str(tmp_path / "avg.npz")
+    r = subprocess.run([sys.executable, "scripts/average_checkpoints.py",
+                        *paths, "--out", out],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    with np.load(out) as z:
+        first_key = sorted(k for k in z.files if k.startswith("params/"))[0]
+        got = z[first_key]
+    leaf_path = first_key[len("params/"):]
+    flat0 = {k: v for k, v in _flatten(emas[0]).items()}
+    flat1 = {k: v for k, v in _flatten(emas[1]).items()}
+    want = (flat0[leaf_path].astype(np.float64)
+            + flat1[leaf_path].astype(np.float64)) / 2
+    np.testing.assert_allclose(got, want.astype(got.dtype),
+                               rtol=1e-6, atol=1e-7)
+
+
+def _flatten(tree):
+    from m3f.pytorch_tpu.train.checkpoint import _flatten_with_paths
+    return _flatten_with_paths(tree)[0]
