@@ -92,7 +92,20 @@ class Predictor:
         at the default stride) covers ALL longer videos.
         """
         sr, fps = self.cfg.model.mel.sample_rate, self.cfg.data.fps
-        for n in range(256, max_frames + 1, 256):
+        # enumerate the REAL (frame, window) bucket signatures: window
+        # buckets do not move in lockstep with the 256-frame buckets, so
+        # sampling only multiples of 256 leaves combinations cold (e.g. a
+        # 260-frame video shares the 528-frame bucket but a smaller window
+        # bucket than a 512-frame one)
+        seen = set()
+        reps = []
+        L = self.cfg.window.window_frames
+        for n in range(L, max_frames + 1):
+            sig = self.trainer.eval_buckets(n)
+            if sig is not None and sig not in seen:
+                seen.add(sig)
+                reps.append(n)
+        for n in reps:
             kw = {}
             if self.cfg.model.use_video:
                 S = self.cfg.data.image_size
@@ -324,6 +337,10 @@ class StreamingSession:
             self._frames = np.concatenate(
                 [self._frames, np.ascontiguousarray(frames, np.uint8)])
         if waveform is not None:
+            # symmetric with the frames assert: a video-only model never
+            # trims self._wav, so silently buffering it would grow without
+            # bound over a long session
+            assert self.use_audio, "video-only model: push frames only"
             self._wav = np.concatenate(
                 [self._wav, np.asarray(waveform, np.float32)])
         # process every complete group of W grid windows

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 Axis = Union[None, int, Sequence[int]]
@@ -85,8 +86,19 @@ def ccc(pred: jnp.ndarray, target: jnp.ndarray,
         mu_p = sum_(pred) / cnt
         mu_t = sum_(target) / cnt
         cov = sum_(pred * target) / cnt - mu_p * mu_t
-        var_p = sum_(pred * pred) / cnt - mu_p * mu_p
-        var_t = sum_(target * target) / cnt - mu_t * mu_t
+        # fp32 cancellation control for near-constant inputs: E[x²]−μ² can
+        # come out slightly NEGATIVE (true variance ≥ 0), and the cov
+        # cancellation error can dwarf the tiny true variances, violating
+        # Cauchy–Schwarz numerically — unclamped, CCC escaped [-1, 1] by
+        # orders of magnitude with a wild gradient. Both clamps are
+        # identities in exact arithmetic.
+        var_p = jnp.maximum(sum_(pred * pred) / cnt - mu_p * mu_p, 0.0)
+        var_t = jnp.maximum(sum_(target * target) / cnt - mu_t * mu_t, 0.0)
+        # stop_gradient on the bound: sqrt has infinite slope at 0 variance
+        # and would NaN the backward exactly in the degenerate case the
+        # clamp exists for; a zero gradient there is the safe behavior
+        cs = jax.lax.stop_gradient(jnp.sqrt(var_p * var_t))
+        cov = jnp.clip(cov, -cs, cs)
         return 2.0 * cov / (var_p + var_t + (mu_p - mu_t) ** 2 + eps)
     mu_p = masked_mean(pred, mask, axis)
     mu_t = masked_mean(target, mask, axis)

@@ -224,7 +224,8 @@ def _temporal_fwd(x, w, inv, shift, *, rows=0, interpret=False):
     co = w.shape[-1]
     if not rows:
         # working set per H-row: x, y blocks (double-buffered) + im2col
-        per_row = t * wd * ((ci + co) * 2 * 2 + 3 * ci * 2 + ci * 2)
+        es = x.dtype.itemsize
+        per_row = t * wd * ((ci + co) * es * 2 + 3 * ci * es + ci * es)
         rows = max(1, min(h, (6 << 20) // per_row))
     while h % rows:
         rows -= 1
@@ -489,10 +490,14 @@ def _temporal_bwd_filter_kernel(have_affine, T, P, C_in, C_out, *refs):
 # Backward drivers
 # ---------------------------------------------------------------------------
 
-def _n_strips(h, wd, cols, budget=1 << 20):
-    """Smallest divisor of ``h`` whose strip im2col [sh·wd, cols] fits budget."""
+def _n_strips(h, wd, cols, budget=1 << 20, itemsize=2):
+    """Smallest divisor of ``h`` whose strip im2col [sh·wd, cols] fits budget.
+
+    ``itemsize`` is the activation element size — fp32 activations (parity
+    debugging) need twice the bf16 estimate or Mosaic can fail to allocate.
+    """
     for s in range(1, h + 1):
-        if h % s == 0 and (h // s) * wd * cols * 2 <= budget:
+        if h % s == 0 and (h // s) * wd * cols * itemsize <= budget:
             return s
     return h
 
@@ -511,7 +516,7 @@ def _spatial_bwd(x, w, inv, shift, y, gy, gs1, gs2, *, interpret=False):
     vec_ci = pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     # ---- data gradient (+ dinv/dshift under affine)
-    ns_d = _n_strips(h, wd, 9 * co)
+    ns_d = _n_strips(h, wd, 9 * co, itemsize=gy.dtype.itemsize)
     kern = functools.partial(_spatial_bwd_data_kernel, have_affine,
                              h, wd, ci, co, ns_d)
     wf_spec = pl.BlockSpec((9 * co, ci), lambda i: (0, 0),
@@ -538,7 +543,7 @@ def _spatial_bwd(x, w, inv, shift, y, gy, gs1, gs2, *, interpret=False):
     )(*args)
 
     # ---- filter gradient
-    ns_f = _n_strips(h, wd, 9 * ci)
+    ns_f = _n_strips(h, wd, 9 * ci, itemsize=x.dtype.itemsize)
     kern = functools.partial(_spatial_bwd_filter_kernel, have_affine,
                              h, wd, ci, co, ns_f)
     in_specs = [img_in, img, img, vec_co, vec_co]
@@ -567,7 +572,8 @@ def _temporal_bwd(x, w, inv, shift, y, gy, gs1, gs2, *, rows=0, interpret=False)
     co = w.shape[-1]
     have_affine = inv is not None
     if not rows:
-        per_row = t * wd * ((ci + co) * 2 * 3 + max(ci, co) * 4 * 2)
+        es = x.dtype.itemsize
+        per_row = t * wd * ((ci + co) * es * 3 + max(ci, co) * 4 * 2)
         rows = max(1, min(h, (5 << 20) // per_row))
     while h % rows:
         rows -= 1
@@ -763,8 +769,10 @@ def conv_unit_fwd(x: jnp.ndarray, w: jnp.ndarray,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused (affine+relu →) conv → channel-stats forward.
 
-    kind="spatial":  x [N, H, W, C_in],    w [3, 3, C_in, C_out]
-    kind="temporal": x [B, T, P, C_in],    w [3, C_in, C_out]
+    x is 5-D [B, T, H, W, C_in] for BOTH kinds (the spatial kernel convs
+    over H×W per (b, t) block, the temporal kernel over T per (b, h-strip)):
+    kind="spatial":  w [3, 3, C_in, C_out]
+    kind="temporal": w [3, C_in, C_out]
     Returns (y, s1, s2) with s1 = Σ_chan y (fp32), s2 = Σ_chan y².
     """
     if kind == "spatial":

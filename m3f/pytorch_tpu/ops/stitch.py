@@ -32,6 +32,11 @@ def window_starts(num_frames: int, window: int, stride: int) -> np.ndarray:
     For ``num_frames < window`` a single window at 0 is returned (the data
     pipeline pads short videos up to ``window``).
     """
+    if stride > window:
+        # [0, s, 2s, …] would leave frames (window, s) covered by NO window;
+        # the stitchers' den>=1 guard would then silently emit 0.0 for them
+        raise ValueError(
+            f"eval stride {stride} > window {window} leaves uncovered frames")
     if num_frames <= window:
         return np.zeros(1, dtype=np.int32)
     starts = list(range(0, num_frames - window + 1, stride))

@@ -67,6 +67,11 @@ def make_sharded_eval_forward(mesh: Mesh, apply_fn: Callable) -> Callable:
 
     def run(params, bn_state, host_batch: dict) -> np.ndarray:
         d = mesh.shape["data"]
+        lens = {k: len(np.asarray(v)) for k, v in host_batch.items()}
+        if len(set(lens.values())) != 1:
+            # n_pad below is shared — mismatched leading dims would silently
+            # mis-trim the result depending on dict iteration order
+            raise ValueError(f"batch entries disagree on leading dim: {lens}")
         padded = {}
         n_pad = 0
         for k, v in host_batch.items():
@@ -85,7 +90,10 @@ def make_sharded_eval_forward(mesh: Mesh, apply_fn: Callable) -> Callable:
 def _gru_cell(h, xp_t, w_hh, b_hh):
     """One torch-parity GRU step. h: [B,H] fp32, xp_t: [B,3H] (x@W_ih+b_ih)."""
     hdim = h.shape[-1]
-    hp = (h @ w_hh).astype(jnp.float32) + b_hh
+    # round the fp32 carry to the weight/compute dtype for the recurrent
+    # matmul — models/gru.py's scan does the same, and skipping the round
+    # would compound a per-step divergence under bf16 compute
+    hp = (h.astype(w_hh.dtype) @ w_hh).astype(jnp.float32) + b_hh
     xr, xz, xn = jnp.split(xp_t.astype(jnp.float32), 3, axis=-1)
     hr, hz, hn = hp[..., :hdim], hp[..., hdim:2 * hdim], hp[..., 2 * hdim:]
     r = jax.nn.sigmoid(xr + hr)

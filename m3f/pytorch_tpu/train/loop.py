@@ -289,6 +289,24 @@ class Trainer:
         return self.cfg.window.windows_per_clip \
             * (8 * n_data // math.gcd(8, n_data))
 
+    def eval_buckets(self, n_frames: int) -> Optional[Tuple[int, int]]:
+        """(n_frames_pad, n_win_pad) shape signature of the fused
+        whole-video eval dispatch for an ``n_frames`` video, or None when
+        the video routes through the length-independent CHUNKED eval.
+
+        Shared by ``_dispatch_eval`` and ``Predictor.warmup`` so warmup
+        compiles exactly the (frame, window) bucket combinations real
+        videos hit — frame and window buckets do NOT move in lockstep."""
+        wcfg = self.cfg.window
+        L = wcfg.window_frames
+        n_win = len(window_starts(n_frames, L, wcfg.eval_stride))
+        if wcfg.eval_max_windows and n_win > wcfg.eval_max_windows:
+            return None
+        win_bucket = self._win_bucket()
+        n_win_pad = -(-max(n_win, 1) // win_bucket) * win_bucket
+        n_frames_pad = -(-n_frames // 256) * 256 + L
+        return n_frames_pad, n_win_pad
+
     def _seq_sharding(self):
         n_data = self.mesh.shape.get("data", 1)
         return (NamedSharding(self.mesh, P("data")) if n_data > 1 else None)
@@ -452,13 +470,10 @@ class Trainer:
         # across variable-length videos.
         eval_fn = self._video_eval_fn or self.make_video_eval_fn()
         self._video_eval_fn = eval_fn
-        win_bucket = self._win_bucket()
-        n_win_pad = -(-max(n_win, 1) // win_bucket) * win_bucket
+        n_frames_pad, n_win_pad = self.eval_buckets(n)
         starts_padded = np.concatenate(
             [starts, np.repeat(starts[-1:], n_win_pad - n_win)])
         win_valid = np.arange(n_win_pad) < n_win
-        frame_bucket = 256
-        n_frames_pad = -(-n // frame_bucket) * frame_bucket + L
         kw = {}
         if mcfg.use_video:
             frames = video["frames"]

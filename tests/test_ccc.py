@@ -171,3 +171,15 @@ def test_ccc_stats_excluded_from_config_hash():
     cfg = ExperimentConfig()
     one = apply_overrides(cfg, {"train.ccc_stats": "one_pass"})
     assert cfg.config_hash() == one.config_hash()   # identical-math knob
+
+
+def test_ccc_one_pass_near_constant_stays_bounded():
+    """fp32 cancellation in E[x²]−μ² can go slightly NEGATIVE for
+    near-constant inputs; unclamped it pushed CCC far outside [-1, 1]."""
+    rng = np.random.RandomState(0)
+    for c in (0.33, -0.77, 0.1234567):
+        pred = np.full((1000,), c, np.float32) \
+            + rng.randn(1000).astype(np.float32) * 1e-6
+        target = np.full((1000,), c, np.float32)
+        v = float(ccc(jnp.asarray(pred), jnp.asarray(target), one_pass=True))
+        assert -1.0 - 1e-5 <= v <= 1.0 + 1e-5, (c, v)

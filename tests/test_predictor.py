@@ -243,3 +243,22 @@ def test_predictor_smoothing_guards():
                         smooth_window=5)
     with pytest.raises(ValueError, match="streaming"):
         p.stream()
+
+
+def test_eval_buckets_cover_off_grid_lengths():
+    """warmup() must compile every (frame, window) bucket combination real
+    videos hit — the old multiples-of-256 sampling missed combos like a
+    260-frame video (shares a frame bucket with 512 but not its window
+    bucket)."""
+    from m3f.pytorch_tpu.train.loop import Trainer
+
+    cfg = tiny_cfg(use_video=False)
+    tr = Trainer(cfg)
+    L = cfg.window.window_frames
+    old = {tr.eval_buckets(n) for n in range(256, 1025, 256)}
+    full = {tr.eval_buckets(n) for n in range(L, 1025)} - {None}
+    assert old < full, (old, full)
+    # the warmup enumeration covers every length's signature by construction
+    for n in range(L, 1025):
+        sig = tr.eval_buckets(n)
+        assert sig is None or sig in full

@@ -63,3 +63,24 @@ def test_sharded_eval_forward_pads_and_matches():
     out = run({"scale": jnp.asarray(2.0)}, {}, {"x": x})
     assert out.shape == (5, 3)
     np.testing.assert_allclose(out, 2 * x, rtol=1e-6)
+
+
+def test_bigru_seq_parallel_bf16_matches_unsharded():
+    """The ppermute wavefront must round its carry to the compute dtype
+    exactly like models/gru.py's scan — under bf16 an unrounded fp32 carry
+    compounds a per-step divergence through the recurrence."""
+    import jax.numpy as jnp
+    from m3f.pytorch_tpu.models.gru import BiGRU
+
+    D, H, B, T = 12, 8, 2, 32
+    mesh = create_mesh(num_data=4, num_model=1)
+    rng = np.random.RandomState(3)
+    bigru = BiGRU(D, H)
+    params = bigru.init(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.bfloat16)
+    want = np.asarray(bigru.apply(params, x), np.float32)
+    got = np.asarray(bigru_seq_parallel(params, x, mesh, axis="data"),
+                     np.float32)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
