@@ -254,6 +254,13 @@ class TrainConfig:
     # at no extra training cost (complements scripts/average_checkpoints.py,
     # which averages discrete checkpoints after the fact).
     ema_decay: float = 0.0
+    # Ramp the decay in early training: d_t = min(ema_decay, (1+t)/(10+t)).
+    # A cold 0.999 shadow stays ~frozen at init for the first ~1k steps
+    # (measured: 300-step soak evaluated the shadow far behind the online
+    # weights); the ramp makes the shadow an honest running average from
+    # step 1 and converges to ema_decay. Set False for the textbook
+    # constant-decay EMA.
+    ema_ramp: bool = True
     optim: OptimConfig = field(default_factory=OptimConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
@@ -314,6 +321,7 @@ class ExperimentConfig:
             # it across a resume is a layout change, not a legal resume.
             # Conditional so hashes of EMA-off configs stay byte-identical.
             semantic["ema_decay"] = self.train.ema_decay
+            semantic["ema_ramp"] = self.train.ema_ramp
         return hashlib.sha256(
             json.dumps(semantic, sort_keys=True).encode()
         ).hexdigest()[:16]

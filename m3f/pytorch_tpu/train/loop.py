@@ -228,7 +228,14 @@ class Trainer:
             }
             new_ema = state.ema
             if state.ema is not None:
-                d = self.cfg.train.ema_decay
+                d = jnp.float32(self.cfg.train.ema_decay)
+                if self.cfg.train.ema_ramp:
+                    # d_t = min(d, (1+t)/(10+t)): honest running average
+                    # from step 1, converging to the configured decay —
+                    # a cold 0.999 shadow otherwise stays ~frozen at init
+                    # for the first ~1k steps
+                    t = state.step.astype(jnp.float32)
+                    d = jnp.minimum(d, (1.0 + t) / (10.0 + t))
                 if self.cfg.train.optim.accumulate_steps > 1:
                     # update the shadow only when MultiSteps actually applied
                     # an optimizer update (mini_step wrapped to 0) — decaying

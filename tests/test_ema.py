@@ -32,6 +32,9 @@ def _cfg(ema_decay=0.5, num_steps=3, ckpt_dir="/tmp/m3f_ema"):
         train=TrainConfig(batch_size=4, num_steps=num_steps, log_every=100,
                           eval_every=10_000, checkpoint_every=10_000,
                           checkpoint_dir=ckpt_dir, ema_decay=ema_decay,
+                          # constant-decay mode: these tests assert the
+                          # textbook recurrence (the ramp has its own test)
+                          ema_ramp=False,
                           optim=OptimConfig(learning_rate=3e-3),
                           mesh=MeshConfig(num_data=1)),
     )
@@ -232,3 +235,34 @@ def test_average_checkpoints_prefers_ema_shadow(tmp_path):
 def _flatten(tree):
     from m3f.pytorch_tpu.train.checkpoint import _flatten_with_paths
     return _flatten_with_paths(tree)[0]
+
+
+def test_ema_ramp_follows_min_schedule():
+    """ema_ramp: d_t = min(d, (1+t)/(10+t)) — an honest running average in
+    early training, converging to the configured decay."""
+    import dataclasses
+
+    cfg = _cfg(ema_decay=0.999)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, ema_ramp=True))
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    step = tr.make_train_step()
+    from m3f.pytorch_tpu.parallel.mesh import shard_batch
+
+    expected = jax.device_get(state.params)
+    stream = _stream(cfg)
+    for t in range(3):
+        state, _ = step(state, shard_batch(tr.mesh, next(stream)))
+        d_t = min(0.999, (1.0 + t) / (10.0 + t))
+        p = jax.device_get(state.params)
+        expected = jax.tree_util.tree_map(
+            lambda e, q, d=d_t: e * d + q * (1.0 - d), expected, p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        expected, jax.device_get(state.ema))
+    # the ramped shadow actually MOVED (a cold 0.999 shadow would not)
+    init = Trainer(cfg).init_state()
+    moved = [np.abs(np.asarray(a) - np.asarray(b)).max()
+             for a, b in zip(jax.tree_util.tree_leaves(init.params),
+                             jax.tree_util.tree_leaves(state.ema))]
+    assert max(moved) > 1e-4
