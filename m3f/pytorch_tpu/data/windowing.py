@@ -132,16 +132,23 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     ids = dataset.video_ids()
     assert ids, "dataset has no videos"
 
-    # one-video decode cache: index pairs arrive grouped by video, so each
+    # LRU-2 decode cache: index pairs arrive grouped by video, so each
     # video is decoded once per epoch (as the eager version did). Shared
     # with the num_frames fallback so a duck-typed dataset WITHOUT the
-    # num_frames protocol still decodes each video once, not twice.
-    cache = {"vi": None, "video": None}
+    # num_frames protocol still decodes each video once, not twice. The
+    # second slot exists for the resume boundary: a leftover skip-era
+    # reservoir tuple materializing from ANOTHER video must not evict the
+    # generator's current video mid-run (the slot stays empty otherwise).
+    cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     def load(vi):
-        if cache["vi"] != vi:
-            cache["vi"], cache["video"] = vi, dataset.load_video(ids[vi])
-        return cache["video"]
+        if vi in cache:
+            cache[vi] = cache.pop(vi)  # refresh LRU order
+        else:
+            if len(cache) >= 2:
+                cache.pop(next(iter(cache)))  # evict least-recently-used
+            cache[vi] = dataset.load_video(ids[vi])
+        return cache[vi]
 
     has_nf = getattr(dataset, "num_frames", None) is not None
 
@@ -225,6 +232,14 @@ class SubsetDataset:
     base: object
     ids: List[str]
 
+    def __post_init__(self):
+        # advertise the num_frames protocol only when the base can honor it
+        # cheaply — otherwise example_stream would take the has-protocol
+        # branch and this forward's load_video fallback would bypass the
+        # stream's decode cache, decoding every video twice per epoch
+        if getattr(self.base, "num_frames", None) is None:
+            self.num_frames = None
+
     def video_ids(self) -> List[str]:
         return list(self.ids)
 
@@ -232,7 +247,7 @@ class SubsetDataset:
         return self.base.load_video(video_id)
 
     def num_frames(self, video_id: str) -> int:
-        return video_num_frames(self.base, video_id)
+        return self.base.num_frames(video_id)
 
 
 def partition_video_ids(ids: List[str], process_index: int,

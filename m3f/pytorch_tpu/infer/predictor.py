@@ -99,12 +99,19 @@ class Predictor:
         # bucket than a 512-frame one)
         seen = set()
         reps = []
+        chunked_rep = 0
         L = self.cfg.window.window_frames
         for n in range(L, max_frames + 1):
             sig = self.trainer.eval_buckets(n)
-            if sig is not None and sig not in seen:
+            if sig is None:
+                # routes through the CHUNKED eval, whose graph is
+                # length-independent: ONE representative warms all of them
+                chunked_rep = chunked_rep or n
+            elif sig not in seen:
                 seen.add(sig)
                 reps.append(n)
+        if chunked_rep:
+            reps.append(chunked_rep)
         for n in reps:
             kw = {}
             if self.cfg.model.use_video:
@@ -117,10 +124,12 @@ class Predictor:
                 # (_dispatch_eval pads the tail host-side anyway)
                 kw["waveform"] = np.zeros(int(round(n / fps * sr)), np.float32)
             self.predict_video(**kw)
-        if self.cfg.model.per_frame:
+        if self.cfg.model.per_frame and self.cfg.window.eval_smooth <= 1:
             # streaming sessions use a DIFFERENT jit (the fixed-shape
             # [1, W, ...] group forward) — pre-compile it too, or the first
-            # completed window group of a live stream stalls mid-capture
+            # completed window group of a live stream stalls mid-capture.
+            # (eval_smooth > 1 makes stream() refuse to open — centered
+            # smoothing needs future frames — so there is nothing to warm.)
             sess = self.stream()
             W, L = sess.W, sess.L
             n = (W - 1) * sess.stride + L

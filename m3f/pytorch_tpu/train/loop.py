@@ -233,8 +233,11 @@ class Trainer:
                     # d_t = min(d, (1+t)/(10+t)): honest running average
                     # from step 1, converging to the configured decay —
                     # a cold 0.999 shadow otherwise stays ~frozen at init
-                    # for the first ~1k steps
-                    t = state.step.astype(jnp.float32)
+                    # for the first ~1k steps. t counts APPLIED optimizer
+                    # updates (micro-steps under grad accumulation would
+                    # scale the ramp by k, partially re-freezing the shadow)
+                    k = max(self.cfg.train.optim.accumulate_steps, 1)
+                    t = (state.step // k).astype(jnp.float32)
                     d = jnp.minimum(d, (1.0 + t) / (10.0 + t))
                 if self.cfg.train.optim.accumulate_steps > 1:
                     # update the shadow only when MultiSteps actually applied

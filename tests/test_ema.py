@@ -266,3 +266,31 @@ def test_ema_ramp_follows_min_schedule():
              for a, b in zip(jax.tree_util.tree_leaves(init.params),
                              jax.tree_util.tree_leaves(state.ema))]
     assert max(moved) > 1e-4
+
+
+def test_ema_ramp_counts_applied_updates_under_accumulation():
+    """With accumulate_steps=k the ramp index is the APPLIED update count,
+    not the micro-step — otherwise the ramp scales by k and the shadow
+    partially re-freezes, the exact problem it exists to fix."""
+    import dataclasses
+
+    cfg = _cfg(ema_decay=0.999)
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, ema_ramp=True,
+        optim=dataclasses.replace(cfg.train.optim, accumulate_steps=2)))
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    step = tr.make_train_step()
+    from m3f.pytorch_tpu.parallel.mesh import shard_batch
+
+    init_ema = jax.device_get(state.ema)
+    stream = _stream(cfg)
+    state, _ = step(state, shard_batch(tr.mesh, next(stream)))  # micro 1
+    state, _ = step(state, shard_batch(tr.mesh, next(stream)))  # applied @t=0
+    # first APPLIED update: d_0 = min(0.999, 1/10) = 0.1
+    expected = jax.tree_util.tree_map(
+        lambda e, p: e * 0.1 + p * 0.9,
+        init_ema, jax.device_get(state.params))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        expected, jax.device_get(state.ema))

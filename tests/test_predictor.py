@@ -262,3 +262,16 @@ def test_eval_buckets_cover_off_grid_lengths():
     for n in range(L, 1025):
         sig = tr.eval_buckets(n)
         assert sig is None or sig in full
+
+
+def test_warmup_with_eval_smooth_and_chunked(tmp_path):
+    """warmup() must not crash on eval_smooth > 1 (it skips the streaming
+    pre-compile — stream() refuses that config) and must pre-compile the
+    CHUNKED eval when max_frames crosses eval_max_windows."""
+    from m3f.pytorch_tpu.config import apply_overrides
+
+    cfg = apply_overrides(tiny_cfg(use_video=False), {
+        "window.eval_smooth": 5, "window.eval_max_windows": 8})
+    p = Predictor(cfg=cfg)
+    p.warmup(max_frames=300)   # 8 windows * stride 8 ≈ 64+ frames → chunked
+    assert p.trainer._video_eval_chunk_fns, "chunked eval was never warmed"

@@ -176,3 +176,56 @@ def test_exact_resume_end_to_end(tmp_path):
     pa = jax.device_get(state_a.params)
     pb = jax.device_get(state_b6.params)
     jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
+
+
+def test_duck_typed_dataset_decodes_once_per_epoch(monkeypatch):
+    """A dataset WITHOUT the num_frames protocol (the original loader
+    contract) must still decode each video once per epoch — including
+    through SubsetDataset in the multi-process path."""
+
+    class Duck:
+        def __init__(self, base):
+            self.base = base
+
+        def video_ids(self):
+            return self.base.video_ids()
+
+        def load_video(self, vid):
+            loads.append(vid)
+            return self.base.load_video(vid)
+
+    ds, seq = _ds_seq(num_videos=3, frames=120)
+    loads = []
+    duck = Duck(ds)
+    list(example_stream(duck, seq, 2, seed=0, loop=False))
+    assert len(loads) == 3, f"plain stream decoded {len(loads)}, want 3"
+
+    loads.clear()
+    list(process_sharded_stream(duck, seq, 1, seed=0, loop=False,
+                                process_index=0, process_count=2))
+    assert len(loads) <= 2, \
+        f"SubsetDataset path decoded {len(loads)} for its 2-video shard"
+
+
+def test_boundary_tuple_does_not_evict_current_video(monkeypatch):
+    """A skip-era reservoir tuple materializing from another video must not
+    force a re-decode of the generator's current video (LRU-2 cache)."""
+    ds, seq = _ds_seq(num_videos=4, frames=120)
+    loads = []
+    orig = SyntheticAVDataset.load_video
+
+    def counting(self, vid):
+        loads.append(vid)
+        return orig(self, vid)
+
+    monkeypatch.setattr(SyntheticAVDataset, "load_video", counting)
+    full = list(example_stream(ds, seq, 2, seed=1, loop=False,
+                               shuffle_buffer=6))
+    loads_full = len(loads)
+    loads.clear()
+    skipped = list(example_stream(ds, seq, 2, seed=1, loop=False,
+                                  shuffle_buffer=6, skip_batches=2))
+    _assert_batches_equal(skipped, full[2:])
+    # boundary cost bounded: at most one extra decode per distinct video in
+    # the leftover reservoir (≤ shuffle_buffer), never a per-tuple re-decode
+    assert len(loads) <= loads_full + 6, (len(loads), loads_full)
