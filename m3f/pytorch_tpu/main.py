@@ -130,6 +130,8 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
     # stopping depend on it, reference C8); --no-eval opts out
     val = None if args.no_eval else make_dataset(cfg, "val")
     ckpt = Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints, cfg)
+    if getattr(args, "resume_from", ""):
+        ckpt.seed_from(args.resume_from)
     writer = MetricWriter(cfg.train.checkpoint_dir, "train")
 
     def log(msg):
@@ -262,6 +264,11 @@ def main(argv=None) -> int:
             sp.add_argument("--init-from", default="",
                             help="pretrained .npz from import_torch_checkpoint.py "
                                  "(backbone-only or full model; = model.init_from)")
+            sp.add_argument("--resume-from", default="",
+                            help="full TrainState checkpoint to seed a FRESH "
+                                 "checkpoint_dir from (reference "
+                                 "--resume_from_checkpoint); ignored when the "
+                                 "dir already has checkpoints")
         else:
             sp.add_argument("--checkpoint", default="")
             sp.add_argument("--max-videos", type=int, default=0)

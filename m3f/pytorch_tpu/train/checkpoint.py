@@ -265,6 +265,38 @@ class Checkpointer:
             except FileNotFoundError:
                 pass
 
+    def seed_from(self, path: str) -> None:
+        """Seed this run directory from an explicit checkpoint path
+        (reference ``--resume_from_checkpoint x.ckpt``, SURVEY §3.5).
+
+        Copies the file into ``checkpoint_dir`` under its own step number so
+        ``maybe_restore`` picks it up with ALL its safety logic (config-hash
+        abort, corruption fallback). Restart-safe: if the directory already
+        holds checkpoints, the seed is IGNORED with a notice — a preemption
+        restart loop passing the same flag must not clobber newer progress.
+        """
+        if self.all_steps():
+            print(f"resume-from {path} ignored: {self.directory} already has "
+                  "checkpoints (auto-resume from the newest takes precedence)")
+            return
+        with np.load(path) as z:
+            if not ({"step", ".step"} & set(z.files)):
+                raise ValueError(
+                    f"{path} is not a full TrainState checkpoint (no step "
+                    "leaf) — model-only/imported weights go through "
+                    "--init-from, which starts a fresh optimizer")
+        step = int(load_meta(path).get("step", 0))
+        if not step:
+            m = re.search(r"ckpt_(\d+)\.npz$", os.path.basename(path))
+            step = int(m.group(1)) if m else 0
+        os.makedirs(self.directory, exist_ok=True)
+        import shutil
+        dst = self._path(step)
+        tmp = dst + ".tmp"
+        shutil.copyfile(path, tmp)
+        os.replace(tmp, dst)  # atomic like save(): no partial ckpt visible
+        print(f"seeded {self.directory} from {path} (step {step})")
+
     def maybe_restore(self, state, trainer=None):
         """Resume from the latest valid checkpoint, else return state as-is.
 

@@ -158,3 +158,42 @@ def test_load_model_checkpoint_rejects_extra_model_leaves(tmp_path):
     save_pytree(jax.device_get(st), path, {"step": 1})
     with pytest.raises(ValueError, match="leaves the eval model lacks"):
         load_model_checkpoint(Trainer(plain).init_state(), path)
+
+
+def test_seed_from_explicit_checkpoint(tmp_path):
+    """--resume-from semantics: seeds a FRESH dir (full safety logic via
+    maybe_restore), never clobbers a dir that already has checkpoints,
+    and rejects model-only layouts with a pointer at --init-from."""
+    from m3f.pytorch_tpu.config import ExperimentConfig, apply_overrides
+    from m3f.pytorch_tpu.train.checkpoint import Checkpointer, save_pytree
+    from m3f.pytorch_tpu.train.loop import Trainer
+    import jax
+    import numpy as np
+    import pytest
+
+    small = {"model.audio.channels": [4, 8], "model.audio.feature_dim": 8,
+             "model.use_video": False, "model.gru.hidden_size": 8}
+    cfg = apply_overrides(ExperimentConfig(), small)
+    tr = Trainer(cfg)
+    state = tr.init_state()._replace(step=np.int32(7))
+    src_dir = tmp_path / "src"
+    ck_src = Checkpointer(str(src_dir), keep=2, cfg=cfg)
+    src = ck_src.save(jax.device_get(state))
+
+    run_dir = tmp_path / "run"
+    ck = Checkpointer(str(run_dir), keep=2, cfg=cfg)
+    ck.seed_from(src)
+    restored = ck.maybe_restore(tr.init_state(), tr)
+    assert int(restored.step) == 7
+
+    # dir now has checkpoints: a second seed (restart loop) is a no-op
+    newer = ck.save(jax.device_get(restored._replace(step=np.int32(9))))
+    ck.seed_from(src)
+    assert int(ck.maybe_restore(tr.init_state(), tr).step) == 9
+
+    # model-only layout is rejected with direction to --init-from
+    mo = str(tmp_path / "model_only.npz")
+    save_pytree({"params": jax.device_get(state.params),
+                 "state": jax.device_get(state.bn_state)}, mo)
+    with pytest.raises(ValueError, match="init-from"):
+        Checkpointer(str(tmp_path / "run2"), keep=2, cfg=cfg).seed_from(mo)
