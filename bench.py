@@ -25,22 +25,15 @@ import numpy as np
 TORCH_CPU_CLIPS_PER_SEC = 0.035
 
 
-def main():
-    import sys, os
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from m3f.pytorch_tpu.cache import enable_persistent_cache
-    enable_persistent_cache()
+def _measure(mid_mode: str) -> float:
+    """Fusion-train clips/sec/chip for one (2+1)D midplane formula."""
     import jax
     from m3f.pytorch_tpu.config import apply_overrides, fusion
     from m3f.pytorch_tpu.data.windowing import samples_per_window
     from m3f.pytorch_tpu.parallel.mesh import shard_batch
     from m3f.pytorch_tpu.train.loop import Trainer
 
-    # TPU-native variant: (2+1)D midplanes rounded to whole 128-lane tiles
-    # (capacity-similar to the torchvision formula; measured +35% over it on
-    # v5e — BOTH numbers in BASELINE.md; the torch-checkpoint-compatible
-    # formula stays the framework default)
-    cfg = apply_overrides(fusion(), {"model.visual.mid_mode": "lane"})
+    cfg = apply_overrides(fusion(), {"model.visual.mid_mode": mid_mode})
     n_chips = len(jax.devices())
     on_tpu = jax.devices()[0].platform == "tpu"
     # global batch of window-sequences; each example is W windows = W clips
@@ -77,13 +70,32 @@ def main():
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
 
-    clips_per_sec = iters * B * W / dt
-    per_chip = clips_per_sec / n_chips
+    return iters * B * W / dt / n_chips
+
+
+def main():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from m3f.pytorch_tpu.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    # Bench BOTH execution paths every round (round-2 verdict: the lane-only
+    # headline left the torch-checkpoint-compatible default ungated):
+    #   default = torchvision midplane formula ("flops"), the path every
+    #             parity/converter/pretrained-init claim attaches to;
+    #   lane    = 128-lane-rounded midplanes, the TPU-native variant.
+    default_cps = _measure("flops")
+    lane_cps = _measure("lane")
+
     print(json.dumps({
-        "metric": "fusion train throughput (16-frame clips/sec/chip, lane-mid tpu variant)",
-        "value": round(per_chip, 2),
+        "metric": "fusion train throughput (16-frame clips/sec/chip; "
+                  "value=torch-compatible default, lane variant alongside)",
+        "value": round(default_cps, 2),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(per_chip / TORCH_CPU_CLIPS_PER_SEC, 2),
+        "vs_baseline": round(default_cps / TORCH_CPU_CLIPS_PER_SEC, 2),
+        "default_clips_per_sec_per_chip": round(default_cps, 2),
+        "lane_clips_per_sec_per_chip": round(lane_cps, 2),
+        "lane_vs_baseline": round(lane_cps / TORCH_CPU_CLIPS_PER_SEC, 2),
     }))
 
 
