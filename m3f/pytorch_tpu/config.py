@@ -392,7 +392,11 @@ def audio_only() -> ExperimentConfig:
     return ExperimentConfig(
         name="audio_only",
         model=ModelConfig(use_audio=True, use_video=False),
-        train=TrainConfig(batch_size=4, num_steps=200),
+        # one_pass CCC: identical math (oracle-tested), but this preset's
+        # conv+scan+two-pass-CCC graph is the one that triggers the remote
+        # program-load pathology (cold first exec 250-540 s vs 21 s —
+        # BASELINE.md bisection). The starter preset must not ship with it.
+        train=TrainConfig(batch_size=4, num_steps=200, ccc_stats="one_pass"),
     )
 
 

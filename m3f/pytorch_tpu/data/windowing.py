@@ -132,20 +132,25 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     ids = dataset.video_ids()
     assert ids, "dataset has no videos"
 
-    # LRU-2 decode cache: index pairs arrive grouped by video, so each
+    # LRU decode cache: index pairs arrive grouped by video, so each
     # video is decoded once per epoch (as the eager version did). Shared
     # with the num_frames fallback so a duck-typed dataset WITHOUT the
-    # num_frames protocol still decodes each video once, not twice. The
-    # second slot exists for the resume boundary: a leftover skip-era
-    # reservoir tuple materializing from ANOTHER video must not evict the
-    # generator's current video mid-run (the slot stays empty otherwise).
+    # num_frames protocol still decodes each video once, not twice. A
+    # SECOND slot exists only around a resume boundary: a leftover
+    # skip-era reservoir tuple materializing from ANOTHER video must not
+    # evict the generator's current video mid-run. Once no skip-era
+    # tuples remain in flight the capacity drops back to 1, so steady
+    # state holds exactly one decoded video (ADVICE r2: a permanent
+    # LRU-2 kept an extra ~hundreds-of-MB video resident forever).
     cache: Dict[int, Dict[str, np.ndarray]] = {}
+    pending_tuples = 0  # skip-era index tuples still in pool/batch
 
     def load(vi):
         if vi in cache:
             cache[vi] = cache.pop(vi)  # refresh LRU order
         else:
-            if len(cache) >= 2:
+            cap = 2 if (skipping() or pending_tuples) else 1
+            while len(cache) >= cap:
                 cache.pop(next(iter(cache)))  # evict least-recently-used
             cache[vi] = dataset.load_video(ids[vi])
         return cache[vi]
@@ -178,12 +183,20 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     skipping = lambda: emitted < skip_batches
 
     def finish_batch(batch):
-        nonlocal emitted
+        nonlocal emitted, pending_tuples
         out = None
         if not skipping():
             # boundary entries pushed while skipping are still index pairs
             out = batch_examples([cut(e) if isinstance(e, tuple) else e
                                   for e in batch])
+        # tuples leave the pool/batch here whether cut or discarded; once
+        # the last one drains, release the boundary slot immediately (a
+        # lazy shrink-on-next-load would keep two videos resident when the
+        # stream never loads another)
+        pending_tuples -= sum(1 for e in batch if isinstance(e, tuple))
+        if not skipping() and not pending_tuples:
+            while len(cache) > 1:
+                cache.pop(next(iter(cache)))  # keep the most recently used
         emitted += 1
         return out
 
@@ -194,7 +207,11 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     for idx in gen_indices():
         # while skipping, the reservoir holds undecoded index pairs; the
         # steady state pushes materialized examples (same RNG either way)
-        ex = idx if skipping() else cut(idx)
+        if skipping():
+            ex = idx
+            pending_tuples += 1
+        else:
+            ex = cut(idx)
         if shuffle_buffer > 1:
             pool.append(ex)
             if len(pool) < shuffle_buffer:

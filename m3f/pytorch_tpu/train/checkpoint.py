@@ -280,15 +280,16 @@ class Checkpointer:
                   "checkpoints (auto-resume from the newest takes precedence)")
             return
         with np.load(path) as z:
-            if not ({"step", ".step"} & set(z.files)):
+            keys = {"step", ".step"} & set(z.files)
+            if not keys:
                 raise ValueError(
                     f"{path} is not a full TrainState checkpoint (no step "
                     "leaf) — model-only/imported weights go through "
                     "--init-from, which starts a fresh optimizer")
-        step = int(load_meta(path).get("step", 0))
-        if not step:
-            m = re.search(r"ckpt_(\d+)\.npz$", os.path.basename(path))
-            step = int(m.group(1)) if m else 0
+            # the .step leaf itself is authoritative (ADVICE r2: meta/filename
+            # heuristics could write ckpt_00000000.npz whose name disagrees
+            # with the state inside, scrambling keep-K pruning order)
+            step = int(np.asarray(z[next(iter(keys))]))
         os.makedirs(self.directory, exist_ok=True)
         import shutil
         dst = self._path(step)

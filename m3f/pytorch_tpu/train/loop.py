@@ -692,7 +692,10 @@ class Trainer:
             if profiling and i >= start_step + 2 + 10:
                 jax.profiler.stop_trace()
                 profiling = False
-            if (i + 1) % tcfg.log_every == 0 or i + 1 == num_steps:
+            # cadence fields <= 0 mean "off" (eval/log/checkpoint_every=0 is
+            # the natural CLI way to disable one; it must not ZeroDivision)
+            if (tcfg.log_every > 0 and (i + 1) % tcfg.log_every == 0) \
+                    or i + 1 == num_steps:
                 loss = float(metrics["loss"])  # sync point
                 dt = time.time() - t0
                 history["loss"].append(loss)
@@ -707,7 +710,8 @@ class Trainer:
                         "clips_per_sec": cps,
                     })
                 t0, seen = time.time(), 0
-            if val_dataset is not None and (i + 1) % tcfg.eval_every == 0:
+            if (val_dataset is not None and tcfg.eval_every > 0
+                    and (i + 1) % tcfg.eval_every == 0):
                 ev = self.evaluate(state, val_dataset)
                 log(f"  eval @{i+1}: ccc_v={ev['ccc_v']:.4f} ccc_a={ev['ccc_a']:.4f}")
                 history.setdefault("eval", []).append(ev)
@@ -721,7 +725,8 @@ class Trainer:
                         f"{best.bad_evals} evals (best {best.best:.4f} "
                         f"@step {best.best_step})")
                     break
-            if checkpointer is not None and (i + 1) % tcfg.checkpoint_every == 0:
+            if (checkpointer is not None and tcfg.checkpoint_every > 0
+                    and (i + 1) % tcfg.checkpoint_every == 0):
                 # async: device→host fetch now (state is donated next step),
                 # serialization + rename on a background thread
                 checkpointer.save_async(state)

@@ -30,14 +30,10 @@ def smoke_one(name: str) -> dict:
     # "lane" = lane-rounded midplanes (visual.mid_mode="lane"), "s2d" =
     # space-to-depth stem (visual.stem_s2d, exact math) — BASELINE.md
     base, *variants = name.split("+")
+    # audio_only now defaults to one_pass CCC in the preset itself (the
+    # conv+scan+two-pass-CCC program-load pathology, BASELINE.md) — the
+    # smoke gate runs presets exactly as users get them, no overrides.
     cfg = PRESETS[base]()
-    if base == "audio_only":
-        # conv+scan+two-pass-CCC in one program triggers the remote
-        # program-load pathology (250-1100 s cold, BASELINE.md); the smoke
-        # gate uses the identical-math sufficient-statistics form so a round's
-        # smoke doesn't burn ~20 min re-measuring a documented backend quirk
-        cfg = apply_overrides(cfg, {"train.ccc_stats": "one_pass"})
-        name = name.replace("audio_only", "audio_only (one_pass ccc)", 1)
     for variant in variants:
         if variant == "lane":
             cfg = apply_overrides(cfg, {"model.visual.mid_mode": "lane"})

@@ -197,3 +197,31 @@ def test_seed_from_explicit_checkpoint(tmp_path):
                  "state": jax.device_get(state.bn_state)}, mo)
     with pytest.raises(ValueError, match="init-from"):
         Checkpointer(str(tmp_path / "run2"), keep=2, cfg=cfg).seed_from(mo)
+
+
+def test_seed_from_step_leaf_is_authoritative(tmp_path):
+    """seed_from names its copy after the .step LEAF, not meta/filename
+    heuristics (ADVICE r2: a stepless-meta, oddly-named source produced
+    ckpt_00000000.npz whose name disagreed with the state inside,
+    scrambling keep-K pruning order and the dir listing)."""
+    import os
+    from m3f.pytorch_tpu.config import ExperimentConfig, apply_overrides
+    from m3f.pytorch_tpu.train.loop import Trainer
+    import jax
+
+    small = {"model.audio.channels": [4, 8], "model.audio.feature_dim": 8,
+             "model.use_video": False, "model.gru.hidden_size": 8}
+    cfg = apply_overrides(ExperimentConfig(), small)
+    tr = Trainer(cfg)
+    state = jax.device_get(tr.init_state()._replace(step=np.int32(42)))
+
+    # adversarial source: no step in meta, filename carries a WRONG number
+    src = str(tmp_path / "ckpt_00000003.renamed.npz")
+    save_pytree(state, src, meta={})
+
+    run = tmp_path / "run"
+    ck = Checkpointer(str(run), keep=2, cfg=cfg)
+    ck.seed_from(src)
+    assert ck.all_steps() == [42]
+    assert os.path.exists(run / "ckpt_00000042.npz")
+    assert int(ck.maybe_restore(tr.init_state(), tr).step) == 42

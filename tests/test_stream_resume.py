@@ -229,3 +229,48 @@ def test_boundary_tuple_does_not_evict_current_video(monkeypatch):
     # boundary cost bounded: at most one extra decode per distinct video in
     # the leftover reservoir (≤ shuffle_buffer), never a per-tuple re-decode
     assert len(loads) <= loads_full + 6, (len(loads), loads_full)
+
+
+def test_steady_state_holds_one_decoded_video(monkeypatch):
+    """Steady-state host memory = ONE decoded video resident, not two.
+
+    ADVICE r2: the LRU-2 decode cache kept a second fully-decoded video
+    alive forever (hundreds of MB for real ABAW crops). The second slot is
+    only licensed while skip-era reservoir tuples are still in flight;
+    afterwards the capacity must drop back to 1. Examples copy out of the
+    decoded arrays (np.stack), so aliveness below == the cache's contents.
+    """
+    import weakref
+
+    ds, seq = _ds_seq(num_videos=4, frames=120)
+    refs = []
+    orig = SyntheticAVDataset.load_video
+
+    def tracking(self, vid):
+        out = orig(self, vid)
+        refs.append(weakref.ref(out["frames"]))
+        return out
+
+    monkeypatch.setattr(SyntheticAVDataset, "load_video", tracking)
+
+    def alive():
+        return sum(1 for r in refs if r() is not None)
+
+    # plain stream: never more than one decoded video after each batch
+    seen = 0
+    for batch in example_stream(ds, seq, 2, seed=0, loop=False):
+        del batch
+        seen += 1
+        assert alive() <= 1, f"batch {seen}: {alive()} videos resident"
+    assert seen > 4  # sanity: crossed several video boundaries
+
+    # resume boundary: 2 may be resident while leftover tuples drain, but
+    # the tail of the run must be back at 1
+    refs.clear()
+    counts = []
+    for batch in example_stream(ds, seq, 2, seed=1, loop=False,
+                                shuffle_buffer=6, skip_batches=2):
+        del batch
+        counts.append(alive())
+    assert max(counts) <= 2
+    assert counts[-1] <= 1, f"steady state still holds {counts[-1]} videos"
