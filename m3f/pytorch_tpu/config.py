@@ -248,6 +248,13 @@ class TrainConfig:
     # remote TPU backend; see ops/ccc.py and BASELINE.md). Excluded from the
     # semantic config hash.
     ccc_stats: str = "two_pass"
+    # Validation CCC convention driving best-checkpoint selection and early
+    # stopping: "per_video" (mean of per-video CCCs, the historical default)
+    # | "pooled" (one CCC over the concatenation of all videos' valid
+    # frames, ABAW-style). evaluate() always REPORTS both; this only picks
+    # the selection metric. Excluded from the semantic config hash (a
+    # reporting/selection knob, not resumed-state semantics).
+    eval_ccc_convention: str = "per_video"
     # Exponential moving average of the params, updated every step
     # (shadow ← shadow·d + params·(1−d); 0 = off). When enabled, eval and
     # best-checkpoint selection use the EMA shadow — serving-quality weights

@@ -32,7 +32,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from m3f.pytorch_tpu.config import ExperimentConfig, OptimConfig
 from m3f.pytorch_tpu.data.windowing import samples_per_window
 from m3f.pytorch_tpu.models.m3f import M3F
-from m3f.pytorch_tpu.ops.ccc import ccc, ccc_loss, make_loss
+from m3f.pytorch_tpu.ops.ccc import (ccc, ccc_from_stats, ccc_loss,
+                                     ccc_sufficient_stats, make_loss)
 from m3f.pytorch_tpu.ops.stitch import (coverage_matrix, smooth_moving_average,
                                         stitch_framewise,
                                         stitch_framewise_sums, window_starts)
@@ -142,6 +143,10 @@ class Trainer:
             # d == 1.0 would freeze the shadow at random init and every
             # eval would silently score untrained weights
             raise ValueError(f"train.ema_decay must be in [0, 1), got {d}")
+        if self.cfg.train.eval_ccc_convention not in ("per_video", "pooled"):
+            raise ValueError(
+                "train.eval_ccc_convention must be 'per_video' or 'pooled', "
+                f"got {self.cfg.train.eval_ccc_convention!r}")
         self.model = M3F(self.cfg.model)
         self.tx = make_optimizer(self.cfg.train.optim, self.cfg.train.num_steps)
         self.mesh = create_mesh(self.cfg.train.mesh.num_data,
@@ -511,7 +516,9 @@ class Trainer:
             jnp.asarray(win_valid),
             jnp.asarray(labels_pad), jnp.asarray(valid_pad),
             jnp.asarray(n, jnp.int32), **kw)
-        return n, stitched_d, per_dim_d
+        # labels/valid ride along (host arrays, tiny) so _collect_eval can
+        # also emit pooled-CCC sufficient statistics
+        return n, stitched_d, per_dim_d, labels_pad[:n], valid_pad[:n]
 
     def _dispatch_eval_chunked(self, state: TrainState,
                                video: Dict[str, np.ndarray],
@@ -593,15 +600,29 @@ class Trainer:
             stitched = np.clip(stitched, -1.0, 1.0)
             per_dim = _host_ccc(stitched, labels, valid)
             return {"pred": stitched,
-                    "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1])}
-        n, stitched_d, per_dim_d = pending
+                    "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1]),
+                    "stats": ccc_sufficient_stats(stitched, labels, valid)}
+        n, stitched_d, per_dim_d, labels, valid = pending
         per_dim = np.asarray(per_dim_d)
-        return {"pred": np.asarray(stitched_d)[:n],
-                "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1])}
+        pred = np.asarray(stitched_d)[:n]
+        return {"pred": pred,
+                "ccc_v": float(per_dim[0]), "ccc_a": float(per_dim[1]),
+                "stats": ccc_sufficient_stats(pred, labels, valid)}
 
     def evaluate(self, state: TrainState, dataset, max_videos: int = 0,
                  pipeline: int = 2, per_video_fn=None) -> Dict[str, float]:
-        """Mean per-video CCC over a dataset split.
+        """Dataset-split CCC, reported in BOTH evaluation conventions.
+
+        ``ccc_v/ccc_a/ccc_mean``: mean of per-video CCCs (the convention
+        every earlier round reported). ``pooled_ccc_v/a/mean``: ONE CCC over
+        the concatenation of all videos' valid frames (ABAW-style pooled
+        statistics — accumulated host-side in fp64 from per-video
+        sufficient statistics). SURVEY §3.3's reconstruction of the
+        reference is ambiguous between the two and they differ materially
+        when video lengths/variances differ (per-video punishes short
+        low-variance videos), so both are always computed;
+        ``train.eval_ccc_convention`` picks which drives best-checkpoint
+        selection and early stopping.
 
         ``per_video_fn(video_id, result)`` is invoked per video as results
         drain (e.g. the CLI's --per-video JSON rows).
@@ -621,14 +642,23 @@ class Trainer:
                 "evaluate(): the validation split has no videos — check "
                 "data.root / annotation layout (empty Validation_Set?)")
         vs, as_ = [], []
+        pooled = np.zeros((2, 6), np.float64)
         videos = ((vid, dataset.load_video(vid)) for vid in ids)
         for vid, r in self.evaluate_stream(state, videos, pipeline=pipeline):
             if per_video_fn is not None:
                 per_video_fn(vid, r)
             vs.append(r["ccc_v"])
             as_.append(r["ccc_a"])
-        return {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
-                "ccc_mean": float((np.mean(vs) + np.mean(as_)) / 2)}
+            pooled += r["stats"]
+        pc = ccc_from_stats(pooled)
+        out = {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
+               "ccc_mean": float((np.mean(vs) + np.mean(as_)) / 2),
+               "pooled_ccc_v": float(pc[0]), "pooled_ccc_a": float(pc[1]),
+               "pooled_ccc_mean": float(pc.mean())}
+        out["ccc_select"] = (out["pooled_ccc_mean"]
+                             if self.cfg.train.eval_ccc_convention == "pooled"
+                             else out["ccc_mean"])
+        return out
 
     def evaluate_stream(self, state: TrainState, videos,
                         pipeline: int = 2):
@@ -713,13 +743,17 @@ class Trainer:
             if (val_dataset is not None and tcfg.eval_every > 0
                     and (i + 1) % tcfg.eval_every == 0):
                 ev = self.evaluate(state, val_dataset)
-                log(f"  eval @{i+1}: ccc_v={ev['ccc_v']:.4f} ccc_a={ev['ccc_a']:.4f}")
+                log(f"  eval @{i+1}: ccc_v={ev['ccc_v']:.4f} "
+                    f"ccc_a={ev['ccc_a']:.4f} "
+                    f"pooled_v={ev['pooled_ccc_v']:.4f} "
+                    f"pooled_a={ev['pooled_ccc_a']:.4f}")
                 history.setdefault("eval", []).append(ev)
                 if metric_writer is not None:
                     metric_writer.write(i + 1, {f"eval_{k}": v for k, v in ev.items()})
-                is_best, should_stop = best.update(ev["ccc_mean"], i + 1)
+                # selection metric honors train.eval_ccc_convention
+                is_best, should_stop = best.update(ev["ccc_select"], i + 1)
                 if is_best and checkpointer is not None:
-                    checkpointer.save_best(state, ev["ccc_mean"])
+                    checkpointer.save_best(state, ev["ccc_select"])
                 if should_stop:
                     log(f"early stop @{i+1}: no ccc_mean improvement for "
                         f"{best.bad_evals} evals (best {best.best:.4f} "
