@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import os
 import sys
 from typing import Dict, List
 
@@ -99,7 +100,13 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
     if cfg.train.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
-    maybe_initialize_distributed()
+    if getattr(args, "coordinator", ""):
+        os.environ["M3F_COORDINATOR"] = args.coordinator
+    plan = maybe_initialize_distributed()
+    if plan.initialize:
+        import jax
+        print(f"distributed: {plan.reason} -> process "
+              f"{jax.process_index()}/{jax.process_count()}")
     import jax
     trainer = Trainer(cfg)
     ds = make_dataset(cfg, "train")
@@ -259,6 +266,12 @@ def main(argv=None) -> int:
         sp.add_argument("--preset", default="fusion", choices=_PRESET_CHOICES)
         sp.add_argument("overrides", nargs="*", help="dotted key=value config overrides")
         if name == "train":
+            sp.add_argument("--coordinator", default="",
+                            help="host:port[,num_processes,process_id] — "
+                                 "explicit multi-process rendezvous for "
+                                 "launchers without TPU pod metadata (sets "
+                                 "M3F_COORDINATOR; pod workers are detected "
+                                 "automatically via TPU_WORKER_HOSTNAMES)")
             sp.add_argument("--no-eval", action="store_true",
                             help="skip periodic eval (disables best-ckpt/early stop)")
             sp.add_argument("--init-from", default="",
