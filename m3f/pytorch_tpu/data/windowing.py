@@ -132,6 +132,18 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     ids = dataset.video_ids()
     assert ids, "dataset has no videos"
 
+    # A buffer larger than one epoch forces O(buffer/epoch) full-dataset
+    # decodes before the FIRST batch emerges (measured: the 8-video
+    # synthetic set filled a 256-example buffer through 16 epochs ≈ 75 s of
+    # startup) while adding no mixing beyond the full-epoch shuffle the
+    # reservoir already provides — cap it. Only when frame counts are cheap
+    # (num_frames protocol); counting via decode would BE the fill cost.
+    if shuffle_buffer > 1 and getattr(dataset, "num_frames", None) is not None:
+        epoch_examples = sum(
+            len(sequencer.example_starts(dataset.num_frames(v)))
+            for v in ids)
+        shuffle_buffer = min(shuffle_buffer, max(epoch_examples, 1))
+
     # LRU decode cache: index pairs arrive grouped by video, so each
     # video is decoded once per epoch (as the eager version did). Shared
     # with the num_frames fallback so a duck-typed dataset WITHOUT the

@@ -85,6 +85,7 @@ def _tiny_backbone(backend):
                                     feature_dim=16, conv_backend=backend))
 
 
+@pytest.mark.slow  # 45 s: whole-backbone fwd+bwd of a DEFAULT-OFF backend
 def test_backbone_fused_matches_xla_train_and_grads():
     """Whole tiny backbone (1 fused stride-1 block + 1 XLA strided block):
     forward, BN running stats, and parameter gradients agree."""

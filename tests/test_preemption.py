@@ -29,6 +29,10 @@ sys.exit(main(sys.argv[1:]))
 
 _OVERRIDES = [
     "data.synthetic=true",
+    # tiniest dataset that still streams: 2 videos x 1 example/epoch (the
+    # preemption contract is about signals + checkpoints, not data volume)
+    "data.synthetic_num_videos=2",
+    "data.synthetic_video_frames=96",
     "model.audio.channels=[4,8]",
     "model.audio.feature_dim=8",
     "model.gru.hidden_size=8",

@@ -109,7 +109,7 @@ def test_randomized_coverage_and_framewise_properties():
     weights sum to 1 where covered, and the jit framewise stitch equals a
     numpy scatter-add oracle (SURVEY §4 'window/stitch indexing properties')."""
     rng = np.random.RandomState(42)
-    for _ in range(12):
+    for trial in range(12):
         window = int(rng.randint(2, 24))
         n = int(rng.randint(1, 200))
         stride = int(rng.randint(1, window + 1))
@@ -121,7 +121,11 @@ def test_randomized_coverage_and_framewise_properties():
         for s in starts:
             cover[s:s + window] += 1
         assert (cover[:n] >= 1).all(), (n, window, stride)
-        # framewise stitch vs numpy oracle
+        # framewise stitch vs numpy oracle — every random shape is a fresh
+        # XLA compile (~1.5 s each on this VM), so the jit comparison runs
+        # on the first 5 shapes only; coverage stays randomized over all 12
+        if trial >= 5:
+            continue
         preds = rng.randn(len(starts), window, 2).astype(np.float32)
         got = np.asarray(stitch_framewise(jnp.asarray(preds),
                                           jnp.asarray(starts), L))
