@@ -36,8 +36,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# stage-1 shape (BASELINE.md bar)
-B, T, H, W, CIN, COUT = 32, 16, 56, 56, 64, 144
+# stage-1 shape (BASELINE.md bar); M3F_PROBE_COUT=128 probes the
+# lane-variant shape (whole stationary MXU tiles, no COUT pad)
+import os as _os
+B, T, H, W, CIN, COUT = 32, 16, 56, 56, 64, int(
+    _os.environ.get("M3F_PROBE_COUT", "144"))
 BT = B * T
 HW = H * W                      # 3136
 HWP = ((HW + 127) // 128) * 128  # 3200 (25 lane tiles)
@@ -177,23 +180,27 @@ CHUNK = 640  # 5 lane tiles; HWP/CHUNK = 5 chunks
 
 
 def _conv_kernel_chunked(x_ref, w_ref, y_ref, p_ref):
-    c = pl.program_id(1)
-    base = c * CHUNK
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + base
-    x_col = p % W
-    mask_l = (x_col != 0).astype(jnp.bfloat16)
-    mask_r = (x_col != W - 1).astype(jnp.bfloat16)
-    for t, (dy, dx) in enumerate(TAPS):
-        s = dy * W + dx
-        slab = x_ref[0, :, pl.ds(MARGIN + base + s, CHUNK)]
-        if dx == -1:
-            slab = slab * mask_l
-        elif dx == 1:
-            slab = slab * mask_r
-        p_ref[t * CIN:(t + 1) * CIN, :] = slab
-    y_ref[0] = jnp.dot(w_ref[:], p_ref[:],
-                       preferred_element_type=jnp.float32
-                       ).astype(jnp.bfloat16)
+    """STATIC in-body chunk loop: per-chunk im2col into a small scratch,
+    per-chunk matmul. All slice offsets are Python constants (Mosaic
+    rejects dynamic unaligned lane offsets), and alternating small
+    VPU-build / MXU-dot stages gives the scheduler room to interleave."""
+    for ci in range(HWP // CHUNK):
+        base = ci * CHUNK
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + base
+        x_col = p % W
+        mask_l = (x_col != 0).astype(jnp.bfloat16)
+        mask_r = (x_col != W - 1).astype(jnp.bfloat16)
+        for t, (dy, dx) in enumerate(TAPS):
+            s = dy * W + dx
+            slab = x_ref[0, :, MARGIN + base + s: MARGIN + base + s + CHUNK]
+            if dx == -1:
+                slab = slab * mask_l
+            elif dx == 1:
+                slab = slab * mask_r
+            p_ref[t * CIN:(t + 1) * CIN, :] = slab
+        y_ref[0, :, base:base + CHUNK] = jnp.dot(
+            w_ref[:], p_ref[:],
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
 
 @jax.jit
@@ -201,14 +208,14 @@ def packed_conv_chunked(x_cm, w_cm):
     return pl.pallas_call(
         _conv_kernel_chunked,
         out_shape=jax.ShapeDtypeStruct((BT, COUT, HWP), jnp.bfloat16),
-        grid=(BT, HWP // CHUNK),
+        grid=(BT,),
         in_specs=[
-            pl.BlockSpec((1, CIN, HWM), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, CIN, HWM), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((COUT, K), lambda b, c: (0, 0),
+            pl.BlockSpec((COUT, K), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, COUT, CHUNK), lambda b, c: (b, 0, c),
+        out_specs=pl.BlockSpec((1, COUT, HWP), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((K, CHUNK), jnp.bfloat16)],
         cost_estimate=pl.CostEstimate(
@@ -266,6 +273,32 @@ def _device_rel_err(got_cm, want_nd):
             / jnp.maximum(jnp.max(jnp.abs(want_nd)), 1e-6))
 
 
+# --------------------------------------------------------------------------
+# GEMM-ceiling probe: what does the BEST pure matmul at this op's shape run
+# at, using XLA's own (maximally tuned) matmul machinery? The conv's
+# implicit GEMM is [M=BT*HW, K=576] x [K, N=144]; if even a pure XLA GEMM
+# at that (M, K, N) cannot beat the 94 TF/s in-graph conv, the "lane
+# padding wall" is really a stationary-MXU-tile wall that no im2col layout
+# can tunnel through, and the bar is unbeatable at COUT=144.
+# --------------------------------------------------------------------------
+
+def gemm_ceiling(iters: int = 30):
+    rng = np.random.RandomState(1)
+    M = 131072  # big enough to amortize; small enough to stay compute-led
+    for (name, a_shape, b_shape, contract) in (
+        ("positions-major [M,576]x[576,144]", (M, K), (K, COUT), "mk,kn->mn"),
+        ("positions-major [M,576]x[576,128]", (M, K), (K, 128), "mk,kn->mn"),
+        ("channels-major  [144,576]x[576,M]", (COUT, K), (K, M), "mk,kn->mn"),
+    ):
+        a = jnp.asarray(rng.randn(*a_shape), jnp.bfloat16)
+        b = jnp.asarray(rng.randn(*b_shape), jnp.bfloat16)
+        f = jax.jit(lambda a, b, e=contract: jnp.einsum(
+            e, a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+        t = measure(f, a, b, iters=iters)
+        fl = 2 * a_shape[0] * a_shape[1] * b_shape[1]
+        print(f"gemm {name}: {t*1e3:.3f} ms  {fl/t/1e12:.1f} TF/s")
+
+
 VARIANTS = {
     "v1": lambda x_cm, w_cm: packed_conv(x_cm, w_cm),
     "v2-chunked": packed_conv_chunked,
@@ -275,7 +308,7 @@ VARIANTS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--run", default="check,xla,v1,v2-chunked,ablate",
+    ap.add_argument("--run", default="check,xla,v1,v2-chunked,ablate,gemm",
                     help="comma list: check, xla, ablate, and/or variants "
                          f"({', '.join(VARIANTS)})")
     args = ap.parse_args()
@@ -316,6 +349,8 @@ def main():
         rows.append(("ablate: matmul only (MXU)",
                      measure(ablate_matmul, p_const, w_cm,
                              iters=args.iters)))
+    if "gemm" in todo:
+        gemm_ceiling(iters=args.iters)
     bar = 94.0
     for name, t in rows:
         print(f"{name}: {t*1e3:.3f} ms  {flops/t/1e12:.1f} TF/s"
