@@ -85,3 +85,27 @@ def test_eval_all_invalid_video_stays_finite(tmp_path):
     r = tr.evaluate_video(state, video)
     assert np.isfinite(r["ccc_v"]) and np.isfinite(r["ccc_a"])
     assert np.isfinite(r["pred"]).all()
+
+
+def test_cadence_zero_means_off(tmp_path):
+    """eval/log/checkpoint_every = 0 disable the feature instead of
+    crashing fit() with ZeroDivisionError (found via the CLI:
+    train.eval_every=0 is the natural way to switch periodic eval off)."""
+    import dataclasses
+
+    cfg = tiny_audio_cfg(num_steps=3, ckpt_dir=str(tmp_path))
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, eval_every=0, log_every=0, checkpoint_every=0))
+    tr = Trainer(cfg)
+    ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+    seq = WindowSequencer(cfg.window, cfg.model.mel,
+                          mel_frames=cfg.model.audio.mel_frames_per_window,
+                          per_frame=cfg.model.per_frame)
+    stream = example_stream(ds, seq, cfg.train.batch_size, loop=True)
+    ck = Checkpointer(str(tmp_path), keep=2, cfg=cfg)
+    # val_dataset present but eval_every=0: evaluate must never run
+    state, hist = tr.fit(stream, val_dataset=ds, log=lambda s: None,
+                         checkpointer=ck)
+    assert int(state.step) == 3
+    assert "eval" not in hist
+    assert not ck.all_steps()  # cadence 0 saved nothing mid-run
