@@ -1,0 +1,145 @@
+"""Minimal HTTP serving frontend over :class:`Predictor` (``m3f serve``).
+
+The reference repo has no serving story (SURVEY §2.1 — inference is a
+Lightning test pass); this closes the deployment loop for the rebuild: one
+process owns the compiled model and answers per-video prediction requests
+over HTTP. Deliberately stdlib-only (no framework deps in the image) and
+single-model: one Predictor, shape-bucketed compiles warmed at startup,
+requests serialized through the device (the chip is one queue anyway;
+concurrency belongs to SessionGroup / predict_many, not HTTP threads).
+
+Protocol (binary-first — videos are big, JSON base64 would triple them):
+
+    POST /predict   body = .npz with optional arrays:
+                      frames   uint8 [N, S, S, 3]  (S = data.image_size)
+                      waveform float32/float64 [T] (16 kHz mono)
+                    query: ?smooth=K  (odd moving-average window, optional)
+                    response: application/json {"pred": [[v, a], ...]}
+                    (or x-npy raw float32 [N,2] with Accept: application/x-npy)
+    GET  /healthz   {"ok": true, "model": ..., "image_size": ..., ...}
+
+Example client:
+
+    buf = io.BytesIO(); np.savez(buf, frames=crops, waveform=wav)
+    r = urllib.request.urlopen("http://HOST:PORT/predict", buf.getvalue())
+    pred = np.asarray(json.load(r)["pred"])
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class PredictServer:
+    def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8321,
+                 max_body: int = 1 << 30):
+        self.predictor = predictor
+        # one device queue -> one request at a time through the model; HTTP
+        # threads only overlap parsing/serialization with device compute
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _send(self, code: int, body: bytes,
+                      ctype: str = "application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _fail(self, code: int, msg: str):
+                self._send(code, json.dumps({"error": msg}).encode())
+
+            def do_GET(self):
+                if self.path.rstrip("/") in ("", "/healthz"):
+                    cfg = outer.predictor.cfg
+                    self._send(200, json.dumps({
+                        "ok": True, "model": cfg.name,
+                        "uses_video": cfg.model.use_video,
+                        "uses_audio": cfg.model.use_audio,
+                        "image_size": cfg.data.image_size,
+                        "sample_rate": cfg.model.mel.sample_rate,
+                        "fps": cfg.data.fps,
+                    }).encode())
+                else:
+                    self._fail(404, f"unknown path {self.path}")
+
+            def do_POST(self):
+                from urllib.parse import parse_qs, urlparse
+                url = urlparse(self.path)
+                if url.path.rstrip("/") != "/predict":
+                    return self._fail(404, f"unknown path {url.path}")
+                n = int(self.headers.get("Content-Length", 0))
+                if not 0 < n <= max_body:
+                    return self._fail(413 if n else 400,
+                                      f"bad Content-Length {n}")
+                raw = self.rfile.read(n)
+                try:
+                    with np.load(io.BytesIO(raw)) as z:
+                        frames = z["frames"] if "frames" in z.files else None
+                        wav = (z["waveform"].astype(np.float32)
+                               if "waveform" in z.files else None)
+                except Exception as e:  # noqa: BLE001 — client error, report
+                    return self._fail(400, f"body is not a readable npz: {e}")
+                q = parse_qs(url.query)
+                smooth = int(q.get("smooth", ["0"])[0])
+                try:
+                    with outer._lock:
+                        out = outer.predictor.predict_video(
+                            frames=frames, waveform=wav,
+                            smooth_window=smooth)
+                except (AssertionError, ValueError) as e:
+                    return self._fail(400, str(e))
+                pred = np.asarray(out["pred"], np.float32)
+                if "application/x-npy" in self.headers.get("Accept", ""):
+                    buf = io.BytesIO()
+                    np.save(buf, pred)
+                    return self._send(200, buf.getvalue(),
+                                      "application/x-npy")
+                self._send(200, json.dumps(
+                    {"pred": pred.tolist()}).encode())
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+def run_server(predictor, host: str = "127.0.0.1", port: int = 8321,
+               warmup_frames: Optional[int] = 1024, log=print):
+    """CLI entry body: warm the shape buckets, then serve until SIGINT."""
+    if warmup_frames:
+        log(f"warming shape buckets up to {warmup_frames} frames ...")
+        predictor.warmup(max_frames=warmup_frames)
+    srv = PredictServer(predictor, host=host, port=port)
+    log(f"serving {predictor.cfg.name} on http://{host}:{srv.port} "
+        "(POST /predict, GET /healthz)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        log("shutting down")
+        srv.shutdown()
+    return 0

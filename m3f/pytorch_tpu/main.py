@@ -297,6 +297,15 @@ def main(argv=None) -> int:
             sp.add_argument("--out", default="submission")
             sp.add_argument("--smooth", type=int, default=1,
                             help="moving-average smoothing window (frames)")
+    sp = sub.add_parser("serve", help="HTTP prediction server over one model")
+    sp.add_argument("--preset", default="longseq_eval", choices=_PRESET_CHOICES)
+    sp.add_argument("--checkpoint", default="")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8321)
+    sp.add_argument("--warmup-frames", type=int, default=1024,
+                    help="pre-compile shape buckets up to this many frames "
+                         "(0 = first request pays the compile)")
+    sp.add_argument("overrides", nargs="*")
     sp = sub.add_parser("export", help="export weights / serving artifacts")
     sp.add_argument("--preset", default="fusion", choices=_PRESET_CHOICES)
     sp.add_argument("--checkpoint", default="", help="TrainState or imported npz")
@@ -316,6 +325,12 @@ def main(argv=None) -> int:
     enable_persistent_cache()
     cfg = build_config(args.preset, args.overrides)
     print(f"config {cfg.name} hash={cfg.config_hash()}", flush=True)
+    if args.cmd == "serve":
+        from m3f.pytorch_tpu.infer import Predictor
+        from m3f.pytorch_tpu.infer.server import run_server
+        return run_server(Predictor(cfg=cfg, checkpoint=args.checkpoint),
+                          host=args.host, port=args.port,
+                          warmup_frames=args.warmup_frames)
     return {"train": cmd_train, "eval": cmd_eval, "predict": cmd_predict}[args.cmd](cfg, args)
 
 
