@@ -224,8 +224,12 @@ def test_streaming_warmup_precompiles_group_forward():
 
 
 def test_streaming_short_video_single_flush():
-    # shorter than one window: everything arrives at flush via the padded tail
-    cfg = _f32(tiny_cfg(use_video=True))
+    # shorter than one window: everything arrives at flush via the padded
+    # tail. 1-device mesh: the property is mesh-independent and the fused
+    # mesh path stays covered by test_streaming_matches_offline_fusion
+    from m3f.pytorch_tpu.config import apply_overrides
+    cfg = apply_overrides(_f32(tiny_cfg(use_video=True)),
+                          {"train.mesh.num_data": 1})
     S = cfg.data.image_size
     frames = np.random.RandomState(0).randint(0, 256, (9, S, S, 3),
                                               dtype=np.uint8)

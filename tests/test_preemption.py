@@ -76,6 +76,11 @@ def _wait_for_step(proc, log_path, step, timeout=480):
                          + open(log_path).read()[-2000:])
 
 
+import pytest
+
+
+@pytest.mark.slow  # ~55 s: two full python+jax subprocess boots; the
+# in-process variant below covers the handler contract in the lean suite
 def test_sigterm_saves_checkpoint_and_resume(tmp_path):
     ckpt_dir = str(tmp_path / "ckpt")
     log_path = str(tmp_path / "train.log")
@@ -100,3 +105,51 @@ def test_sigterm_saves_checkpoint_and_resume(tmp_path):
     out = open(log2).read()
     assert rc2 == 0, out[-2000:]
     assert f"step {saved_step + 2}/{saved_step + 2}" in out
+
+
+def test_sigterm_handler_in_process(tmp_path):
+    """Fast default-suite version of the contract (the subprocess test
+    above pays ~55 s of double python+jax boot and is slow-marked): the
+    installed handler saves the CURRENT state on SIGTERM even though no
+    cadence fired, exits with SystemExit(143), and maybe_restore resumes
+    from that checkpoint."""
+    import numpy as np
+    import pytest
+
+    import jax
+    from m3f.pytorch_tpu.config import ExperimentConfig, apply_overrides
+    from m3f.pytorch_tpu.train.checkpoint import Checkpointer
+    from m3f.pytorch_tpu.train.loop import Trainer
+
+    cfg = apply_overrides(ExperimentConfig(), {
+        "model.audio.channels": [4, 8], "model.audio.feature_dim": 8,
+        "model.use_video": False, "model.gru.hidden_size": 8,
+        "train.mesh.num_data": 1})
+    tr = Trainer(cfg)
+    state = jax.device_get(tr.init_state()._replace(step=np.int32(5)))
+    ck = Checkpointer(str(tmp_path), keep=2, cfg=cfg)
+    ck.install_preemption_handler(lambda: state)
+    try:
+        with pytest.raises(SystemExit) as e:
+            os.kill(os.getpid(), signal.SIGTERM)
+            signal.pause() if hasattr(signal, "pause") else None
+        assert e.value.code == 143
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    assert ck.all_steps() == [5]
+    restored = ck.maybe_restore(tr.init_state(), tr)
+    assert int(restored.step) == 5
+
+    # handler robustness: a state whose buffers were donated/deleted must
+    # not mask the exit path (best-effort save, still exits 143)
+    ck2 = Checkpointer(str(tmp_path / "b"), keep=2, cfg=cfg)
+    def broken():
+        raise RuntimeError("buffers donated")
+    ck2.install_preemption_handler(broken)
+    try:
+        with pytest.raises(SystemExit) as e:
+            os.kill(os.getpid(), signal.SIGTERM)
+        assert e.value.code == 143
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    assert not ck2.all_steps()
