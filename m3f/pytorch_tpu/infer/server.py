@@ -18,6 +18,16 @@ Protocol (binary-first — videos are big, JSON base64 would triple them):
                     (or x-npy raw float32 [N,2] with Accept: application/x-npy)
     GET  /healthz   {"ok": true, "model": ..., "image_size": ..., ...}
 
+    Live streams (bounded-latency online inference; concurrent sessions'
+    ready window-groups run as ONE batched forward via SessionGroup):
+
+    POST /stream/open          -> {"id": "..."}
+    POST /stream/<id>/push     body = .npz chunk (frames/waveform)
+                               -> {"start": i, "pred": [[v, a], ...]}
+                                  (frames finalized by this chunk; the
+                                  emission lags `latency_frames` behind)
+    POST /stream/<id>/flush    -> same shape; closes the session
+
 Example client:
 
     buf = io.BytesIO(); np.savez(buf, frames=crops, waveform=wav)
@@ -38,11 +48,24 @@ import numpy as np
 
 class PredictServer:
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8321,
-                 max_body: int = 1 << 30):
+                 max_body: int = 1 << 30, max_streams: int = 64):
+        from m3f.pytorch_tpu.infer.predictor import SessionGroup
+
         self.predictor = predictor
         # one device queue -> one request at a time through the model; HTTP
         # threads only overlap parsing/serialization with device compute
         self._lock = threading.Lock()
+        self._group = SessionGroup(predictor)
+        self._streams = {}          # id -> StreamingSession
+        self._next_id = 0
+        self.max_streams = max_streams
+        # micro-batching of concurrent /push requests: the first arrival
+        # becomes the leader, sleeps batch_window_s so concurrent sessions'
+        # chunks pile up, then runs ONE SessionGroup.push_many for all of
+        # them (the 3.5x measured in BASELINE.md "serving throughput")
+        self.batch_window_s = 0.003
+        self._pending = []          # (session, data, event, slot)
+        self._pending_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -74,9 +97,77 @@ class PredictServer:
                 else:
                     self._fail(404, f"unknown path {self.path}")
 
+            def _read_npz(self):
+                n = int(self.headers.get("Content-Length", 0))
+                if n > max_body:
+                    self._fail(413, f"body too large ({n})")
+                    return None
+                raw = self.rfile.read(n)
+                try:
+                    with np.load(io.BytesIO(raw)) as z:
+                        return {k: (z[k].astype(np.float32)
+                                    if k == "waveform" else z[k])
+                                for k in z.files}
+                except Exception as e:  # noqa: BLE001 — client error
+                    self._fail(400, f"body is not a readable npz: {e}")
+                    return None
+
+            def _stream_routes(self, path: str) -> bool:
+                parts = path.strip("/").split("/")
+                if parts[0] != "stream":
+                    return False
+                if parts[1:] == ["open"]:
+                    with outer._pending_lock:
+                        if len(outer._streams) >= outer.max_streams:
+                            self._fail(429, "too many open streams")
+                            return True
+                        sid = f"s{outer._next_id}"
+                        outer._next_id += 1
+                        try:
+                            outer._streams[sid] = outer._group.open()
+                        except ValueError as e:  # e.g. eval_smooth set
+                            self._fail(400, str(e))
+                            return True
+                    self._send(200, json.dumps({
+                        "id": sid,
+                        "latency_frames": outer._streams[sid].latency_frames,
+                    }).encode())
+                    return True
+                if len(parts) == 3 and parts[2] in ("push", "flush"):
+                    sess = outer._streams.get(parts[1])
+                    if sess is None:
+                        self._fail(404, f"unknown stream {parts[1]}")
+                        return True
+                    if parts[2] == "push":
+                        data = self._read_npz()
+                        if data is None:
+                            return True
+                        try:
+                            lo, pred = outer._stream_push(sess, data)
+                        except (AssertionError, ValueError) as e:
+                            self._fail(400, str(e))
+                            return True
+                    else:
+                        try:
+                            with outer._lock:
+                                lo, pred = sess.flush()
+                        except (AssertionError, ValueError) as e:
+                            self._fail(400, str(e))
+                            return True
+                        outer._streams.pop(parts[1], None)
+                    self._send(200, json.dumps({
+                        "start": int(lo),
+                        "pred": np.asarray(pred, np.float32).tolist(),
+                    }).encode())
+                    return True
+                self._fail(404, f"unknown path /{path.strip('/')}")
+                return True
+
             def do_POST(self):
                 from urllib.parse import parse_qs, urlparse
                 url = urlparse(self.path)
+                if self._stream_routes(url.path):
+                    return
                 if url.path.rstrip("/") != "/predict":
                     return self._fail(404, f"unknown path {url.path}")
                 n = int(self.headers.get("Content-Length", 0))
@@ -110,6 +201,54 @@ class PredictServer:
                     {"pred": pred.tolist()}).encode())
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+
+    # -- streaming micro-batcher ------------------------------------------
+
+    def _stream_push(self, sess, data):
+        """Batch this push with whatever else arrives inside the window.
+
+        Two pushes for the SAME session in one window can't share one
+        push_many dict — the later one is deferred to the next round, which
+        also serializes a client that (against the contract) pipelines
+        pushes for one stream.
+        """
+        import time as _time
+
+        ev = threading.Event()
+        slot = {}
+        with self._pending_lock:
+            self._pending.append((sess, data, ev, slot))
+            leader = len(self._pending) == 1
+        while leader:
+            _time.sleep(self.batch_window_s)
+            with self._pending_lock:
+                batch, dup = [], []
+                seen = set()
+                for item in self._pending:
+                    (dup if id(item[0]) in seen else batch).append(item)
+                    seen.add(id(item[0]))
+                self._pending = dup
+            try:
+                with self._lock:
+                    outs = self._group.push_many(
+                        {s: d for s, d, _, _ in batch})
+                for s, _, e, sl in batch:
+                    sl["out"] = outs[s]
+                    e.set()
+            except BaseException as exc:
+                for _, _, e, sl in batch:
+                    sl.setdefault("err", exc)
+                    e.set()
+            with self._pending_lock:
+                # keep leading until the queue is EMPTY (deferred same-
+                # session duplicates have no other leader; new arrivals only
+                # self-elect when they find an empty queue)
+                leader = bool(self._pending)
+        if not ev.wait(timeout=600):
+            raise RuntimeError("stream push timed out behind the batcher")
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
 
     @property
     def port(self) -> int:
