@@ -34,14 +34,26 @@ import numpy as np
 from m3f.pytorch_tpu.config import INVALID_LABEL, DataConfig, MelConfig
 
 
-def read_wav_16k_mono(path: str) -> np.ndarray:
-    """Minimal WAV reader (PCM16/PCM32/float32) → float32 in [-1, 1].
+def read_wav_16k_mono(path: str,
+                      expected_rate: Optional[int] = None) -> np.ndarray:
+    """Minimal WAV reader (PCM16/PCM32) → float32 in [-1, 1].
 
     stdlib-only: librosa/soundfile are not in the image (memory note
     env-constraints); ffmpeg extraction upstream produces standard PCM16.
+
+    ``expected_rate``: when given, a mismatched sample rate raises instead
+    of silently desynchronizing audio from the video frames (every window's
+    sample offset is computed as frame/fps·sample_rate — a 44.1 kHz file
+    would feed ~2.8× too-fast audio with no error anywhere downstream).
     """
     with wave.open(path, "rb") as w:
         assert w.getnchannels() == 1, f"{path}: expected mono"
+        if expected_rate is not None and w.getframerate() != expected_rate:
+            raise ValueError(
+                f"{path}: sample rate {w.getframerate()} != expected "
+                f"{expected_rate} (mel.sample_rate) — re-extract with "
+                "scripts/extract_audio.py (ffmpeg -ar "
+                f"{expected_rate} -ac 1)")
         sw = w.getsampwidth()
         raw = w.readframes(w.getnframes())
     if sw == 2:
@@ -170,7 +182,8 @@ class AffWild2Dataset:
         wav_path = os.path.join(self.cfg.root, "audio", video_id + ".wav")
         expected = int(round(n / self.cfg.fps * self.mel.sample_rate))
         if os.path.exists(wav_path):
-            wav = read_wav_16k_mono(wav_path)
+            wav = read_wav_16k_mono(wav_path,
+                                    expected_rate=self.mel.sample_rate)
             wav = np.pad(wav, (0, max(0, expected - len(wav))))[:expected]
         else:
             wav = np.zeros(expected, dtype=np.float32)

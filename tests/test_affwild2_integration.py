@@ -177,3 +177,22 @@ def test_fake_abaw_end_to_end(tmp_path):
         lines = open(os.path.join(out, vid + ".txt")).read().strip().splitlines()
         assert lines[0].lower().startswith("valence")
         assert len(lines) == n + 1
+
+
+def test_wrong_sample_rate_fails_loudly(tmp_path):
+    """A wav at the wrong rate must raise, not silently desync audio from
+    frames (every window's sample offset assumes mel.sample_rate)."""
+    import pytest
+
+    from m3f.pytorch_tpu.data.affwild2 import read_wav_16k_mono
+
+    p = str(tmp_path / "bad.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44_100)
+        w.writeframes(np.zeros(1000, "<i2").tobytes())
+    with pytest.raises(ValueError, match="extract_audio"):
+        read_wav_16k_mono(p, expected_rate=SR)
+    # rate-agnostic call still reads it (tooling use)
+    assert len(read_wav_16k_mono(p)) == 1000
