@@ -147,6 +147,22 @@ class Trainer:
             raise ValueError(
                 "train.eval_ccc_convention must be 'per_video' or 'pooled', "
                 f"got {self.cfg.train.eval_ccc_convention!r}")
+        if self.cfg.model.per_frame \
+                and self.cfg.model.frames_per_window \
+                != self.cfg.window.window_frames:
+            # coupled fields (found by fuzzing): in audio-only per-frame
+            # mode the model takes L from model.frames_per_window while the
+            # data pipeline cuts window.window_frames-sized windows — a
+            # mismatch surfaces as a cryptic reshape error deep in the
+            # label alignment (or silent misalignment). Fail at
+            # construction with the fix spelled out.
+            raise ValueError(
+                f"window.window_frames={self.cfg.window.window_frames} but "
+                f"model.frames_per_window={self.cfg.model.frames_per_window}"
+                " — these must match (set both when changing the window "
+                "length; model.audio.mel_frames_per_window should track "
+                "them too: ~1 mel frame per video frame at the default "
+                "hop)")
         self.model = M3F(self.cfg.model)
         self.tx = make_optimizer(self.cfg.train.optim, self.cfg.train.num_steps)
         self.mesh = create_mesh(self.cfg.train.mesh.num_data,

@@ -142,3 +142,26 @@ def test_tuple_field_override_bad_scalar_errors():
 
     with pytest.raises(ValueError, match="blocks_per_stage"):
         apply_overrides(fusion(), {"model.visual.blocks_per_stage": 3})
+
+
+def test_window_frames_coupling_validated():
+    """window.window_frames and model.frames_per_window must agree in
+    per-frame mode (fuzzing found a mismatch crashes with a cryptic
+    reshape error deep in label alignment); Trainer fails loudly at
+    construction, and SYNCED non-default geometry works (fuzz-verified)."""
+    import pytest
+
+    from m3f.pytorch_tpu.config import ExperimentConfig, apply_overrides
+    from m3f.pytorch_tpu.train.loop import Trainer
+
+    bad = apply_overrides(ExperimentConfig(), {
+        "model.use_video": False, "window.window_frames": 8})
+    with pytest.raises(ValueError, match="frames_per_window"):
+        Trainer(bad)
+
+    ok = apply_overrides(ExperimentConfig(), {
+        "model.use_video": False, "model.audio.channels": [4],
+        "model.audio.feature_dim": 4, "model.gru.hidden_size": 4,
+        "window.window_frames": 8, "model.frames_per_window": 8,
+        "model.audio.mel_frames_per_window": 8})
+    Trainer(ok)  # constructs fine
