@@ -139,6 +139,12 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
     ckpt = Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints, cfg)
     if getattr(args, "resume_from", ""):
         ckpt.seed_from(args.resume_from)
+    if pc > 1:
+        # multi-host: process 0 just seeded / will write checkpoints into
+        # the SHARED checkpoint_dir; everyone else must not race ahead and
+        # restore (or skip restoring) before that write lands
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("m3f:checkpoint-dir-ready")
     writer = MetricWriter(cfg.train.checkpoint_dir, "train")
 
     def log(msg):

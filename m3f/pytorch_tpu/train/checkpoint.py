@@ -212,10 +212,23 @@ class Checkpointer:
 
     # -- save / restore ----------------------------------------------------
 
+    @staticmethod
+    def _primary() -> bool:
+        """Only process 0 WRITES on a multi-host job (state is replicated,
+        so N processes would race N identical copies into the same files —
+        harmless for content thanks to mkstemp+rename, but N× the write
+        bandwidth and interleaved keep-K prunes). Every process still
+        READS (maybe_restore): on multi-host, checkpoint_dir must be
+        SHARED storage (the MIGRATION.md launch recipe says so)."""
+        import jax
+        return jax.process_index() == 0
+
     def save(self, state) -> str:
         self.wait()
         step = int(state.step)
         path = self._path(step)
+        if not self._primary():
+            return path
         save_pytree(jax.device_get(state), path, self._meta(step))
         self._prune()
         return path
@@ -233,6 +246,8 @@ class Checkpointer:
         self.wait()
         step = int(state.step)
         path = self._path(step)
+        if not self._primary():
+            return path
         host_state = jax.device_get(state)
         meta = self._meta(step)
 
@@ -279,6 +294,8 @@ class Checkpointer:
             print(f"resume-from {path} ignored: {self.directory} already has "
                   "checkpoints (auto-resume from the newest takes precedence)")
             return
+        if not self._primary():
+            return  # process 0 seeds the (shared) dir; see _primary()
         with np.load(path) as z:
             keys = {"step", ".step"} & set(z.files)
             if not keys:
@@ -340,6 +357,8 @@ class Checkpointer:
         return os.path.join(self.directory, "best.npz")
 
     def save_best(self, state, metric: float) -> str:
+        if not self._primary():
+            return self.best_path()
         meta = {"step": int(state.step), "metric": float(metric)}
         if self.cfg is not None:
             meta["config_hash"] = self.cfg.config_hash()

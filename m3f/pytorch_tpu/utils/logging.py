@@ -22,6 +22,17 @@ class MetricWriter:
 
     def __init__(self, directory: str, name: str = "train",
                  tensorboard: bool = True):
+        # multi-host: only process 0 writes (N processes see identical
+        # replicated metrics; N writers into one shared dir would duplicate
+        # every row and interleave the CSV header rewrites)
+        self._active = True
+        try:
+            import jax
+            self._active = jax.process_index() == 0
+        except Exception:
+            pass
+        if not self._active:
+            return
         os.makedirs(directory, exist_ok=True)
         self.directory = directory
         self._jsonl = open(os.path.join(directory, f"{name}.jsonl"), "a")
@@ -62,6 +73,8 @@ class MetricWriter:
                 w.writerow({k: r.get(k, "") for k in self._csv_fields})
 
     def write(self, step: int, metrics: Dict[str, float]):
+        if not self._active:
+            return
         row = {"step": int(step), "time": time.time(),
                **{k: float(v) for k, v in metrics.items()}}
         self._jsonl.write(json.dumps(row) + "\n")
@@ -84,6 +97,8 @@ class MetricWriter:
                 self._tb.add_scalar(k, float(v), int(step))
 
     def close(self):
+        if not self._active:
+            return
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

@@ -225,3 +225,42 @@ def test_seed_from_step_leaf_is_authoritative(tmp_path):
     assert ck.all_steps() == [42]
     assert os.path.exists(run / "ckpt_00000042.npz")
     assert int(ck.maybe_restore(tr.init_state(), tr).step) == 42
+
+
+def test_multihost_only_primary_writes(tmp_path, monkeypatch):
+    """On a multi-host job only process 0 writes checkpoints/metrics (N
+    replicated writers would race N identical copies into a shared dir and
+    duplicate every metric row); every process still reads."""
+    import os
+
+    import jax
+    from m3f.pytorch_tpu.config import ExperimentConfig, apply_overrides
+    from m3f.pytorch_tpu.train.checkpoint import Checkpointer
+    from m3f.pytorch_tpu.train.loop import Trainer
+    from m3f.pytorch_tpu.utils.logging import MetricWriter
+
+    small = {"model.audio.channels": [4, 8], "model.audio.feature_dim": 8,
+             "model.use_video": False, "model.gru.hidden_size": 8}
+    cfg = apply_overrides(ExperimentConfig(), small)
+    tr = Trainer(cfg)
+    state = jax.device_get(tr.init_state()._replace(step=np.int32(3)))
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    ck = Checkpointer(str(tmp_path / "a"), keep=2, cfg=cfg)
+    assert ck.save(state).endswith("ckpt_00000003.npz")
+    assert ck.save_async(state)
+    ck.wait()
+    ck.save_best(state, 0.5)
+    assert not ck.all_steps() and not os.listdir(tmp_path / "a")
+    w = MetricWriter(str(tmp_path / "a"))
+    w.write(1, {"loss": 1.0})
+    w.close()
+    assert not os.listdir(tmp_path / "a")
+
+    # process 0 writes; a process-1 Checkpointer still READS the shared dir
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    ck0 = Checkpointer(str(tmp_path / "a"), keep=2, cfg=cfg)
+    ck0.save(state)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    restored = ck.maybe_restore(tr.init_state(), tr)
+    assert int(restored.step) == 3
