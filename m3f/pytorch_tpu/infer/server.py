@@ -152,6 +152,9 @@ class PredictServer:
                             with outer._lock:
                                 lo, pred = sess.flush()
                         except (AssertionError, ValueError) as e:
+                            # a failed flush means the session is dead
+                            # either way — don't leak its slot
+                            outer._streams.pop(parts[1], None)
                             self._fail(400, str(e))
                             return True
                         outer._streams.pop(parts[1], None)
@@ -228,15 +231,25 @@ class PredictServer:
                     (dup if id(item[0]) in seen else batch).append(item)
                     seen.add(id(item[0]))
                 self._pending = dup
+            # fail cheap per-item preconditions individually so one dead
+            # session can't poison every other push in its 3 ms window
+            live = []
+            for item in batch:
+                if getattr(item[0], "_flushed", False):
+                    item[3]["err"] = AssertionError("session already flushed")
+                    item[2].set()
+                else:
+                    live.append(item)
             try:
-                with self._lock:
-                    outs = self._group.push_many(
-                        {s: d for s, d, _, _ in batch})
-                for s, _, e, sl in batch:
-                    sl["out"] = outs[s]
-                    e.set()
+                if live:
+                    with self._lock:
+                        outs = self._group.push_many(
+                            {s: d for s, d, _, _ in live})
+                    for s, _, e, sl in live:
+                        sl["out"] = outs[s]
+                        e.set()
             except BaseException as exc:
-                for _, _, e, sl in batch:
+                for _, _, e, sl in live:
                     sl.setdefault("err", exc)
                     e.set()
             with self._pending_lock:
