@@ -27,6 +27,32 @@ from m3f.pytorch_tpu.config import ExperimentConfig, PRESETS, apply_overrides
 from m3f.pytorch_tpu.infer.submission import postprocess
 
 
+def _check_frames(frames: np.ndarray, image_size: int) -> np.ndarray:
+    """Validate client-supplied frames (serving boundary: a wrong dtype or
+    shape must surface as ValueError → HTTP 400, not a shape error deep in
+    the jitted eval graph → 500)."""
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        raise ValueError(
+            f"frames must be uint8 face crops, got dtype {frames.dtype}")
+    if frames.ndim != 4 or frames.shape[1:] != (image_size, image_size, 3):
+        raise ValueError(
+            f"frames must be [N, {image_size}, {image_size}, 3], "
+            f"got shape {frames.shape}")
+    return np.ascontiguousarray(frames)
+
+
+def _check_waveform(waveform: np.ndarray) -> np.ndarray:
+    waveform = np.asarray(waveform)
+    if waveform.ndim != 1:
+        raise ValueError(
+            f"waveform must be 1-D mono samples, got shape {waveform.shape}")
+    if not np.issubdtype(waveform.dtype, np.floating) and \
+            not np.issubdtype(waveform.dtype, np.integer):
+        raise ValueError(f"waveform must be numeric, got {waveform.dtype}")
+    return waveform.astype(np.float32, copy=False)
+
+
 class Predictor:
     def __init__(self, cfg: Optional[ExperimentConfig] = None,
                  checkpoint: str = "", preset: str = "longseq_eval",
@@ -146,6 +172,10 @@ class Predictor:
     def _video_dict(self, frames: Optional[np.ndarray],
                     waveform: Optional[np.ndarray]) -> Dict[str, np.ndarray]:
         mcfg = self.cfg.model
+        if frames is not None:
+            frames = _check_frames(frames, self.cfg.data.image_size)
+        if waveform is not None:
+            waveform = _check_waveform(waveform)
         if mcfg.use_video:
             assert frames is not None, "model uses video; pass frames [N,S,S,3] uint8"
             n = len(frames)
@@ -162,9 +192,9 @@ class Predictor:
             "valid": np.zeros(n, bool),
         }
         if frames is not None:
-            video["frames"] = np.ascontiguousarray(frames, dtype=np.uint8)
+            video["frames"] = frames
         if waveform is not None:
-            video["waveform"] = np.asarray(waveform, np.float32)
+            video["waveform"] = waveform
         return video
 
     def predict_video(self, frames: Optional[np.ndarray] = None,
@@ -351,18 +381,25 @@ class StreamingSession:
 
     def _append(self, frames: Optional[np.ndarray],
                 waveform: Optional[np.ndarray]) -> None:
+        # ATOMIC: validate every input fully before mutating any buffer, so
+        # a rejected push (wrong modality, bad shape/dtype, flushed session)
+        # leaves the session exactly as it was — required by SessionGroup's
+        # per-session error isolation (one bad client push must not corrupt
+        # or half-advance anything).
         assert not self._flushed, "session already flushed"
         if frames is not None:
             assert self.use_video, "audio-only model: push waveform only"
-            self._frames = np.concatenate(
-                [self._frames, np.ascontiguousarray(frames, np.uint8)])
+            frames = _check_frames(frames, self.S)
         if waveform is not None:
             # symmetric with the frames assert: a video-only model never
             # trims self._wav, so silently buffering it would grow without
             # bound over a long session
             assert self.use_audio, "video-only model: push frames only"
-            self._wav = np.concatenate(
-                [self._wav, np.asarray(waveform, np.float32)])
+            waveform = _check_waveform(waveform)
+        if frames is not None:
+            self._frames = np.concatenate([self._frames, frames])
+        if waveform is not None:
+            self._wav = np.concatenate([self._wav, waveform])
 
     def _collect_ready(self):
         """Advance the grid over every complete ready W-window group,
@@ -485,14 +522,60 @@ class SessionGroup:
             b *= 2
         return b
 
-    def push_many(self, pushes: Dict[StreamingSession, Dict[str, np.ndarray]]
+    def warmup(self) -> None:
+        """Pre-compile every power-of-two batch bucket ([b, W, ...]).
+
+        Without this, the first time live concurrency reaches a new bucket
+        a multi-second XLA compile runs inside the serving path while the
+        batcher leader holds the device — stalling every in-flight request
+        (advisor r3 low #4). One dummy forward per bucket at startup moves
+        all of that to boot time (and the persistent compile cache makes it
+        cheap after the first process).
+        """
+        cfg = self.p.cfg
+        if not cfg.model.per_frame or cfg.window.eval_smooth > 1:
+            return                      # stream() would refuse to open
+        probe = self.p.stream()         # geometry only; never pushed
+        W, L, S, spw = probe.W, probe.L, probe.S, probe.spw
+        b = 1
+        while b <= self.max_batch:
+            feed = {}
+            if cfg.model.use_video:
+                feed["video"] = np.zeros((b, W, L, S, S, 3), np.uint8)
+            if cfg.model.use_audio:
+                feed["wav"] = np.zeros((b, W, spw), np.float32)
+            np.asarray(self._fwd(self.p.state.params,
+                                 self.p.state.bn_state, feed))
+            b *= 2
+
+    def push_many(self, pushes: Dict[StreamingSession, Dict[str, np.ndarray]],
+                  errors: Optional[Dict[StreamingSession, Exception]] = None
                   ) -> Dict[StreamingSession, Tuple[int, np.ndarray]]:
         """Push one tick of data for several sessions; returns each
-        session's newly finalized (first_frame_index, preds [k, 2])."""
+        session's newly finalized (first_frame_index, preds [k, 2]).
+
+        Per-session error isolation (advisor r3 high #1): a session whose
+        append fails (wrong modality/shape/dtype, already flushed) must not
+        affect the others, and a session whose groups WERE collected must
+        always have them forwarded — `_collect_ready` advances the window
+        grid and trims buffers, so dropping collected groups would silently
+        zero that session's remaining output with no recovery. `_append` is
+        atomic (validates before mutating), so a failed session is left
+        exactly as it was. With ``errors`` given (a dict), failures are
+        recorded there as session → exception and the session is omitted
+        from the result; without it, the first failure re-raises AFTER all
+        successfully collected groups have been forwarded and applied.
+        """
         pending = []                    # (session, starts, feed)
+        failed: Dict[StreamingSession, Exception] = {}
         for sess, data in pushes.items():
-            sess._append(data.get("frames"), data.get("waveform"))
-            for starts, feed in sess._collect_ready():
+            try:
+                sess._append(data.get("frames"), data.get("waveform"))
+                groups = sess._collect_ready()
+            except (AssertionError, ValueError) as e:
+                failed[sess] = e
+                continue
+            for starts, feed in groups:
                 pending.append((sess, starts, feed))
         for i in range(0, len(pending), self.max_batch):
             chunk = pending[i:i + self.max_batch]
@@ -507,7 +590,16 @@ class SessionGroup:
             for (sess, starts, _), pred in zip(chunk, preds[:k]):
                 sess._apply_group(pred, starts,
                                   np.ones(sess.W, bool))
-        return {sess: sess._emit_final() for sess in pushes}
+        if failed and errors is None:
+            # raise BEFORE emitting: healthy sessions keep their finalized
+            # frames buffered (recoverable via the next push/flush) rather
+            # than having them emitted into a result dict nobody receives
+            raise next(iter(failed.values()))
+        outs = {sess: sess._emit_final()
+                for sess in pushes if sess not in failed}
+        if failed:
+            errors.update(failed)
+        return outs
 
     def flush(self, sess: StreamingSession) -> Tuple[int, np.ndarray]:
         return sess.flush()

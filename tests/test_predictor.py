@@ -336,3 +336,120 @@ def test_session_group_matches_offline_and_inline():
         np.testing.assert_allclose(stream_pred, offline[i],
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=f"session {i}")
+
+
+def test_push_many_isolates_bad_session():
+    """Advisor r3 high #1: one malformed push (wrong modality, bad shape,
+    already flushed) must fail ONLY its own session. Healthy sessions'
+    collected window-groups are still forwarded, the bad session's buffers
+    are untouched (atomic _append), and every stream stays offline-exact."""
+    from m3f.pytorch_tpu.config import apply_overrides
+    from m3f.pytorch_tpu.infer.predictor import SessionGroup
+
+    cfg = apply_overrides(_f32(tiny_cfg(use_video=False)),
+                          {"train.mesh.num_data": 1})
+    p = Predictor(cfg=cfg)
+    group = SessionGroup(p, max_batch=8)
+    wav = _wav(30, cfg, seed=42)
+    offline = p.predict_video(waveform=wav)["pred"]
+
+    good, bad = group.open(), group.open()
+    got = []
+
+    # tick 1: wrong modality for `bad` (frames at an audio-only model)
+    errs = {}
+    outs = group.push_many(
+        {good: {"waveform": wav[:16000]},
+         bad: {"frames": np.zeros((4, 8, 8, 3), np.uint8)}}, errors=errs)
+    assert bad in errs and isinstance(errs[bad], AssertionError)
+    assert bad not in outs and good in outs
+    assert len(bad._wav) == 0          # atomic: nothing half-appended
+    got.append(outs[good][1])
+
+    # tick 2: bad shape (2-D waveform) — ValueError, still isolated
+    errs = {}
+    outs = group.push_many(
+        {good: {"waveform": wav[16000:32000]},
+         bad: {"waveform": np.zeros((3, 5), np.float32)}}, errors=errs)
+    assert isinstance(errs[bad], ValueError)
+    got.append(outs[good][1])
+
+    # tick 3: bad is flushed, then pushed in the same batch as good
+    bad.flush()
+    errs = {}
+    outs = group.push_many(
+        {good: {"waveform": wav[32000:]},
+         bad: {"waveform": wav[:100]}}, errors=errs)
+    assert "flushed" in str(errs[bad])
+    got.append(outs[good][1])
+
+    got.append(group.flush(good)[1])
+    np.testing.assert_allclose(np.concatenate(got), offline,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_push_many_forwards_collected_groups_even_when_raising():
+    """Without an `errors` dict push_many re-raises — but only AFTER the
+    healthy sessions' collected groups ran. Dropping them would leave those
+    sessions' grids advanced past groups that never forwarded → silent 0.0
+    predictions forever (the exact corruption of advisor r3 high #1)."""
+    from m3f.pytorch_tpu.config import apply_overrides
+    from m3f.pytorch_tpu.infer.predictor import SessionGroup
+
+    cfg = apply_overrides(_f32(tiny_cfg(use_video=False)),
+                          {"train.mesh.num_data": 1})
+    p = Predictor(cfg=cfg)
+    group = SessionGroup(p, max_batch=8)
+    wav = _wav(26, cfg, seed=7)
+    offline = p.predict_video(waveform=wav)["pred"]
+
+    good, dead = group.open(), group.open()
+    dead.flush()
+    got = []
+    with pytest.raises(AssertionError, match="flushed"):
+        group.push_many({good: {"waveform": wav},
+                         dead: {"waveform": wav[:100]}})
+    # good's groups were forwarded before the raise: finalized frames are
+    # recoverable and the rest arrives at flush, matching offline exactly
+    got.append(good._emit_final()[1])
+    got.append(group.flush(good)[1])
+    np.testing.assert_allclose(np.concatenate(got), offline,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_session_group_warmup_compiles_buckets():
+    """SessionGroup.warmup() pre-compiles every power-of-two [b, W, ...]
+    bucket (advisor r3 low #4) and leaves serving behavior unchanged."""
+    from m3f.pytorch_tpu.config import apply_overrides
+    from m3f.pytorch_tpu.infer.predictor import SessionGroup
+
+    cfg = apply_overrides(_f32(tiny_cfg(use_video=False)),
+                          {"train.mesh.num_data": 1})
+    p = Predictor(cfg=cfg)
+    group = SessionGroup(p, max_batch=4)
+    group.warmup()
+    wav = _wav(24, cfg, seed=9)
+    offline = p.predict_video(waveform=wav)["pred"]
+    s = group.open()
+    outs = group.push_many({s: {"waveform": wav}})
+    got = [outs[s][1], group.flush(s)[1]]
+    np.testing.assert_allclose(np.concatenate(got), offline,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_predict_video_rejects_bad_inputs():
+    """Serving boundary validation: wrong dtype/shape raises ValueError
+    (→ HTTP 400), never a shape error inside the jitted graph (→ 500)."""
+    cfg = tiny_cfg(use_video=True)
+    S = cfg.data.image_size
+    p = Predictor(cfg=cfg)
+    wav = _wav(8, cfg)
+    with pytest.raises(ValueError, match="uint8"):
+        p.predict_video(frames=np.zeros((8, S, S, 3), np.float32),
+                        waveform=wav)
+    with pytest.raises(ValueError, match="shape"):
+        p.predict_video(frames=np.zeros((8, S + 1, S, 3), np.uint8),
+                        waveform=wav)
+    with pytest.raises(ValueError, match="1-D"):
+        p.predict_video(frames=np.zeros((8, S, S, 3), np.uint8),
+                        waveform=np.zeros((10, 2), np.float32))
