@@ -147,12 +147,11 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
         multihost_utils.sync_global_devices("m3f:checkpoint-dir-ready")
     writer = MetricWriter(cfg.train.checkpoint_dir, "train")
 
-    def log(msg):
-        print(msg, flush=True)
+    from m3f.pytorch_tpu.utils.logging import console_log
 
     # trainer._last_state is refreshed inside fit() after every step
     ckpt.install_preemption_handler(lambda: trainer._last_state)
-    state, history = trainer.fit(stream, val_dataset=val, log=log,
+    state, history = trainer.fit(stream, val_dataset=val, log=console_log,
                                  checkpointer=ckpt, metric_writer=writer)
     ckpt.save(state)
     writer.close()
@@ -330,7 +329,8 @@ def main(argv=None) -> int:
     from m3f.pytorch_tpu.cache import enable_persistent_cache
     enable_persistent_cache()
     cfg = build_config(args.preset, args.overrides)
-    print(f"config {cfg.name} hash={cfg.config_hash()}", flush=True)
+    from m3f.pytorch_tpu.utils.logging import console_log
+    console_log(f"config {cfg.name} hash={cfg.config_hash()}")
     if args.cmd == "serve":
         from m3f.pytorch_tpu.infer import Predictor
         from m3f.pytorch_tpu.infer.server import run_server
