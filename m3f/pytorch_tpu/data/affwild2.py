@@ -152,8 +152,80 @@ class AffWild2Dataset:
                 break
         return n
 
+    # -- per-video frame rate ------------------------------------------------
+    #
+    # Aff-Wild2 is in-the-wild: videos are NOT uniformly 30 fps (the
+    # reference's per-video mel precompute aligned hop to each video's actual
+    # rate — SURVEY §2.1 C3's "30 fps" is the typical case, not an
+    # invariant). Every audio↔frame alignment downstream derives sample
+    # offsets as frame / fps · sample_rate, so a 25 fps video fed with the
+    # global 30 fps constant desynchronizes its audio by 20% with no error
+    # anywhere (VERDICT r3 missing #1). The true rate is derivable with zero
+    # extra decode work: container metadata when videos/ exists, else
+    # annotation rows / wav duration (both files are already read).
+
+    FPS_BAND = (5.0, 120.0)   # outside this, the derivation is garbage
+
+    def video_fps(self, video_id: str,
+                  n_frames: Optional[int] = None) -> float:
+        """True frame rate of one video, cached; falls back to cfg.fps.
+
+        Priority: container probe (cv2, header only) → annotation-rows /
+        wav-duration (wav HEADER only, no sample read) → ``cfg.fps``.
+        Estimates outside FPS_BAND fall through to the next source.
+        """
+        cached = getattr(self, "_fps_cache", None)
+        if cached is None:
+            cached = self._fps_cache = {}
+        if video_id in cached:
+            return cached[video_id]
+        fps = 0.0
+        for ext in (".mp4", ".avi", ".mkv"):
+            vp = os.path.join(self.cfg.root, "videos", video_id + ext)
+            if os.path.exists(vp):
+                try:
+                    import cv2
+                    cap = cv2.VideoCapture(vp)
+                    if cap.isOpened():
+                        fps = float(cap.get(cv2.CAP_PROP_FPS))
+                    cap.release()
+                except Exception:
+                    fps = 0.0
+                break
+        if not self.FPS_BAND[0] <= fps <= self.FPS_BAND[1]:
+            fps = 0.0
+            wav_path = os.path.join(self.cfg.root, "audio", video_id + ".wav")
+            if os.path.exists(wav_path):
+                try:
+                    with wave.open(wav_path, "rb") as w:
+                        dur = w.getnframes() / float(w.getframerate())
+                    if dur > 0:
+                        n = self.num_frames(video_id) \
+                            if n_frames is None else n_frames
+                        fps = n / dur
+                except Exception:
+                    fps = 0.0
+        if not self.FPS_BAND[0] <= fps <= self.FPS_BAND[1]:
+            fps = float(self.cfg.fps)
+        elif fps != self.cfg.fps:
+            # Snap to the configured rate when the END-OF-VIDEO drift is
+            # under half a mel hop — then no window's sample offset can
+            # shift by even one hop, and the video stays on the canonical
+            # (warmup-compiled) shape buckets. A wav rounded to whole
+            # samples makes every true-30fps video derive 30.000x; snapping
+            # by this drift criterion (not a blanket rel-tol) keeps 29.97
+            # NTSC distinct on long videos, where its ~0.1% skew really
+            # does accumulate past a hop.
+            n = self.num_frames(video_id) if n_frames is None else n_frames
+            drift = abs(n / fps - n / self.cfg.fps) * self.mel.sample_rate
+            if drift < self.mel.hop_length / 2:
+                fps = float(self.cfg.fps)
+        cached[video_id] = fps
+        return fps
+
     def load_video(self, video_id: str) -> Dict[str, np.ndarray]:
-        """Same schema as SyntheticAVDataset.load_video.
+        """Same schema as SyntheticAVDataset.load_video, plus ``fps``
+        (scalar float: this video's true frame rate — see video_fps).
 
         Frame decode goes through the native C++ thread-pool loader
         (data/native_loader.py) when built, else cv2 — identical output.
@@ -179,8 +251,9 @@ class AffWild2Dataset:
         frames, ok = decode_jpeg_batch(paths, self.size)
         valid &= ok
 
+        fps = self.video_fps(video_id, n_frames=n)
         wav_path = os.path.join(self.cfg.root, "audio", video_id + ".wav")
-        expected = int(round(n / self.cfg.fps * self.mel.sample_rate))
+        expected = int(round(n / fps * self.mel.sample_rate))
         if os.path.exists(wav_path):
             wav = read_wav_16k_mono(wav_path,
                                     expected_rate=self.mel.sample_rate)
@@ -189,4 +262,5 @@ class AffWild2Dataset:
             wav = np.zeros(expected, dtype=np.float32)
 
         labels = np.where(valid[:, None], labels, INVALID_LABEL).astype(np.float32)
-        return {"frames": frames, "waveform": wav, "labels": labels, "valid": valid}
+        return {"frames": frames, "waveform": wav, "labels": labels,
+                "valid": valid, "fps": fps}

@@ -60,13 +60,18 @@ class WindowSequencer:
         labels, valid = video["labels"], video["valid"]
         spw = samples_per_window(self.mel, self.mel_frames)
         sr = self.mel.sample_rate
+        # audio↔frame alignment honors the video's OWN frame rate when the
+        # loader derived one (AffWild2Dataset.video_fps) — the corpus is not
+        # uniformly 30 fps, and sample offsets computed with the global
+        # constant desynchronize off-rate videos' audio (VERDICT r3 #1)
+        fps = float(video.get("fps") or self.fps)
 
         vids, wavs, labs, mask = [], [], [], []
         for wi in range(W):
             fs = start_frame + wi * stride
             fe = fs + L
             vids.append(frames[fs:fe])
-            ss = int(round(fs / self.fps * sr))
+            ss = int(round(fs / fps * sr))
             seg = wav[ss:ss + spw]
             if len(seg) < spw:
                 seg = np.pad(seg, (0, spw - len(seg)))

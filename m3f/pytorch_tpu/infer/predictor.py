@@ -42,6 +42,18 @@ def _check_frames(frames: np.ndarray, image_size: int) -> np.ndarray:
     return np.ascontiguousarray(frames)
 
 
+def _check_fps(fps) -> Optional[float]:
+    if fps is None:
+        return None
+    try:
+        fps = float(fps)
+    except (TypeError, ValueError):
+        raise ValueError(f"fps must be a number, got {fps!r}") from None
+    if not 5.0 <= fps <= 120.0:
+        raise ValueError(f"fps {fps} outside the plausible band [5, 120]")
+    return fps
+
+
 def _check_waveform(waveform: np.ndarray) -> np.ndarray:
     waveform = np.asarray(waveform)
     if waveform.ndim != 1:
@@ -90,9 +102,11 @@ class Predictor:
                 "window.eval_smooth and smooth_window are both set; "
                 "predictions would be smoothed twice — pick one")
 
-    def stream(self) -> "StreamingSession":
+    def stream(self, fps: Optional[float] = None) -> "StreamingSession":
         """Open an ONLINE inference session: push frames/audio as they
         arrive, receive per-frame (valence, arousal) with bounded latency.
+        ``fps``: this stream's true video frame rate when it differs from
+        the configured default (audio↔frame alignment derives from it).
         See StreamingSession."""
         if self.cfg.window.eval_smooth > 1:
             # a centered smoother needs FUTURE frames; silently skipping it
@@ -101,7 +115,7 @@ class Predictor:
                 "window.eval_smooth > 1 cannot apply to streaming sessions "
                 "(centered smoothing needs future frames) — smooth the "
                 "emitted stream downstream, or use eval_smooth=1")
-        return StreamingSession(self)
+        return StreamingSession(self, fps=_check_fps(fps))
 
     def warmup(self, max_frames: int = 1024) -> None:
         """Pre-compile the eval graph for videos up to ``max_frames``.
@@ -170,8 +184,11 @@ class Predictor:
     # -- single video -------------------------------------------------------
 
     def _video_dict(self, frames: Optional[np.ndarray],
-                    waveform: Optional[np.ndarray]) -> Dict[str, np.ndarray]:
+                    waveform: Optional[np.ndarray],
+                    fps: Optional[float] = None) -> Dict[str, np.ndarray]:
         mcfg = self.cfg.model
+        fps = _check_fps(fps)
+        fps_eff = fps or self.cfg.data.fps
         if frames is not None:
             frames = _check_frames(frames, self.cfg.data.image_size)
         if waveform is not None:
@@ -181,7 +198,7 @@ class Predictor:
             n = len(frames)
         else:
             assert waveform is not None, "audio-only model; pass waveform"
-            n = int(round(len(waveform) / mcfg.mel.sample_rate * self.cfg.data.fps))
+            n = int(round(len(waveform) / mcfg.mel.sample_rate * fps_eff))
             n = max(n, 1)
         if mcfg.use_audio:
             assert waveform is not None, "model uses audio; pass 16 kHz waveform"
@@ -195,20 +212,25 @@ class Predictor:
             video["frames"] = frames
         if waveform is not None:
             video["waveform"] = waveform
+        if fps is not None:
+            video["fps"] = fps
         return video
 
     def predict_video(self, frames: Optional[np.ndarray] = None,
                       waveform: Optional[np.ndarray] = None,
-                      smooth_window: int = 0) -> Dict[str, np.ndarray]:
+                      smooth_window: int = 0,
+                      fps: Optional[float] = None) -> Dict[str, np.ndarray]:
         """Per-frame predictions for one video.
 
         frames: [N, S, S, 3] uint8 face crops (S = cfg.data.image_size);
-        waveform: mono float32 at cfg.model.mel.sample_rate.
+        waveform: mono float32 at cfg.model.mel.sample_rate;
+        fps: the video's true frame rate when it differs from the configured
+        default (audio↔frame alignment derives sample offsets from it).
         Returns {"pred": [N, 2] float32 in [-1, 1]}.
         """
         self._check_smooth(smooth_window)
         out = self.trainer.evaluate_video(
-            self.state, self._video_dict(frames, waveform))
+            self.state, self._video_dict(frames, waveform, fps))
         return {"pred": postprocess(out["pred"], smooth_window=smooth_window)}
 
     # -- pipelined stream ----------------------------------------------------
@@ -223,7 +245,8 @@ class Predictor:
         (video_id, preds [N, 2]) in input order.
         """
         self._check_smooth(smooth_window)
-        prepared = ((vid, self._video_dict(v.get("frames"), v.get("waveform")))
+        prepared = ((vid, self._video_dict(v.get("frames"), v.get("waveform"),
+                                           v.get("fps")))
                     for vid, v in videos)
         for vid, r in self.trainer.evaluate_stream(self.state, prepared,
                                                    pipeline=pipeline):
@@ -253,7 +276,7 @@ class StreamingSession:
         start, preds = sess.flush()             # tail windows, final frames
     """
 
-    def __init__(self, predictor: Predictor):
+    def __init__(self, predictor: Predictor, fps: Optional[float] = None):
         cfg = predictor.cfg
         assert cfg.model.per_frame, "streaming needs per-frame predictions"
         self.p = predictor
@@ -263,7 +286,10 @@ class StreamingSession:
         self.L = cfg.window.window_frames
         self.stride = cfg.window.eval_stride
         self.S = cfg.data.image_size
-        self.fps = cfg.data.fps
+        # per-session frame rate (the capture's true rate; the [1/k, W, ...]
+        # forward is shape-identical for any rate — only the host-side
+        # sample offsets change, so off-rate sessions share the compiles)
+        self.fps = float(fps or cfg.data.fps)
         self.sr = cfg.model.mel.sample_rate
         from m3f.pytorch_tpu.data.windowing import samples_per_window
         self.spw = samples_per_window(cfg.model.mel,
@@ -512,8 +538,8 @@ class SessionGroup:
         self.max_batch = max_batch
         self._fwd = predictor._eval_forward()
 
-    def open(self) -> StreamingSession:
-        return self.p.stream()
+    def open(self, fps: Optional[float] = None) -> StreamingSession:
+        return self.p.stream(fps=fps)
 
     @staticmethod
     def _bucket(k: int) -> int:

@@ -14,6 +14,10 @@ Protocol (binary-first — videos are big, JSON base64 would triple them):
                       frames   uint8 [N, S, S, 3]  (S = data.image_size)
                       waveform float32/float64 [T] (16 kHz mono)
                     query: ?smooth=K  (odd moving-average window, optional)
+                           ?fps=R    (the video's true frame rate when it
+                                      differs from the configured default;
+                                      audio<->frame alignment derives from
+                                      it — also accepted on /stream/open)
                     response: application/json {"pred": [[v, a], ...]}
                     (or x-npy raw float32 [N,2] with Accept: application/x-npy)
     GET  /healthz   {"ok": true, "model": ..., "image_size": ..., ...}
@@ -208,6 +212,9 @@ class PredictServer:
                     return False
                 if parts[1:] == ["open"]:
                     self._route = "stream/open"
+                    from urllib.parse import parse_qs, urlparse
+                    q = parse_qs(urlparse(self.path).query)
+                    fps = q.get("fps", [None])[0]   # capture's true rate
                     with outer._pending_lock:
                         outer._evict_idle_locked()
                         if len(outer._streams) >= outer.max_streams:
@@ -216,8 +223,8 @@ class PredictServer:
                         sid = f"s{outer._next_id}"
                         outer._next_id += 1
                         try:
-                            outer._streams[sid] = outer._group.open()
-                        except ValueError as e:  # e.g. eval_smooth set
+                            outer._streams[sid] = outer._group.open(fps=fps)
+                        except ValueError as e:  # e.g. eval_smooth, bad fps
                             self._fail(400, str(e))
                             return True
                         outer._touched[sid] = time.monotonic()
@@ -306,11 +313,12 @@ class PredictServer:
                     return self._fail(400, f"body is not a readable npz: {e}")
                 q = parse_qs(url.query)
                 smooth = int(q.get("smooth", ["0"])[0])
+                fps = q.get("fps", [None])[0]       # video's true rate
                 try:
                     with outer._lock:
                         out = outer.predictor.predict_video(
                             frames=frames, waveform=wav,
-                            smooth_window=smooth)
+                            smooth_window=smooth, fps=fps)
                 except (AssertionError, ValueError) as e:
                     return self._fail(400, str(e))
                 except Exception as e:  # noqa: BLE001 — JSON 500, not a

@@ -505,13 +505,21 @@ class Trainer:
         starts_padded = np.concatenate(
             [starts, np.repeat(starts[-1:], n_win_pad - n_win)])
         win_valid = np.arange(n_win_pad) < n_win
+        # audio offsets honor the video's own frame rate (loader-derived or
+        # caller-supplied; VERDICT r3 #1). The canonical rate keeps the
+        # historical wav length so warmup-compiled buckets stay hot;
+        # off-rate videos bucket their wav length up to whole seconds so a
+        # handful of compiles covers any rate, not one per video.
+        fps = float(video.get("fps") or self.cfg.data.fps)
         kw = {}
         if mcfg.use_video:
             frames = video["frames"]
             kw["frames"] = np.pad(
                 frames, [(0, n_frames_pad - len(frames))] + [(0, 0)] * 3)
         if mcfg.use_audio:
-            need = int(round(n_frames_pad / self.cfg.data.fps * sr)) + spw
+            need = int(round(n_frames_pad / fps * sr)) + spw
+            if fps != self.cfg.data.fps:
+                need = -(-need // sr) * sr + spw
             wav = video["waveform"]
             # pad AND truncate to exactly `need`: an audio track longer than
             # the video (common in real containers) would otherwise give
@@ -520,7 +528,7 @@ class Trainer:
             kw["wav"] = np.pad(wav, (0, max(0, need - len(wav))))[:need] \
                 .astype(np.float32)
         sample_starts = np.round(
-            starts_padded / self.cfg.data.fps * sr).astype(np.int32)
+            starts_padded / fps * sr).astype(np.int32)
         labels_pad = np.full((n_frames_pad, 2), -5.0, np.float32)
         labels_pad[:n] = video["labels"]
         valid_pad = np.zeros(n_frames_pad, bool)
@@ -551,7 +559,10 @@ class Trainer:
         L, W = wcfg.window_frames, wcfg.windows_per_clip
         spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
         sr = mcfg.mel.sample_rate
-        fps = self.cfg.data.fps
+        # per-video rate, same policy as _dispatch_eval: canonical rate
+        # keeps the historical wav-slice length; off-rate videos bucket it
+        # up to whole seconds (chunk geometry itself is rate-independent)
+        fps = float(video.get("fps") or self.cfg.data.fps)
         n = len(video["labels"])
         M = -(-wcfg.eval_max_windows // self._win_bucket()) \
             * self._win_bucket()
@@ -559,6 +570,8 @@ class Trainer:
         span = (M - 1) * wcfg.eval_stride + L
         local_nf = -(-span // 256) * 256 + L
         need_wav = int(round(local_nf / fps * sr)) + spw
+        if fps != self.cfg.data.fps:
+            need_wav = -(-need_wav // sr) * sr + spw
         fn = self._video_eval_chunk_fns.get(local_nf)
         if fn is None:
             fn = self.make_video_eval_chunk_fn(local_nf)

@@ -4,7 +4,18 @@ Runs each preset's REAL train step once on whatever backend JAX selects
 (the v5e chip in this environment), records compile time and per-step time,
 and writes SMOKE.json — the perf-regression gate for later rounds.
 
+The gate ASSERTS (VERDICT r3 weak #1: "perf numbers need a GATE, not more
+kernels"): every row carries ``thresholds`` + ``pass`` derived from the
+BASELINE.md measured ceilings with ~20% wall-clock headroom (the axon
+tunnel adds jitter), and the script exits nonzero on any violation — a
+device-side regression fails the round instead of shipping silently.
+
     python scripts/tpu_smoke.py [--out SMOKE.json] [--presets a,b,...]
+                                [--with-bench] [--no-gate] [--scale-floors X]
+
+``--with-bench`` additionally runs bench.py's two headline measurements and
+gates them (default >= 245, lane >= 330 clips/s/chip — BASELINE.md r3:
+275 / 371). ``--scale-floors 10`` is the gate's self-test: it must trip.
 """
 
 from __future__ import annotations
@@ -17,6 +28,49 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
 
 import numpy as np
+
+# Floors from measured history (SMOKE.json r3 on the v5e chip, ~20%
+# headroom for tunnel jitter). compile_s ceilings are generous — they exist
+# to catch the program-load pathology class (250-540 s cold executions,
+# BASELINE.md round-1), not cache-state noise.
+FLOORS = {
+    "audio_only": {"clips_per_sec_min": 500.0, "compile_s_max": 90.0},
+    "visual_only": {"clips_per_sec_min": 165.0, "compile_s_max": 150.0},
+    "fusion": {"clips_per_sec_min": 160.0, "compile_s_max": 150.0},
+    "fusion+lane": {"clips_per_sec_min": 205.0, "compile_s_max": 150.0},
+    "distributed_train": {"clips_per_sec_min": 160.0, "compile_s_max": 150.0},
+    # eval wall time is tunnel-H2D-bound (~88%); only the device-compute
+    # portion meaningfully gates the model (VERDICT r2 weak #6)
+    "longseq_eval (eval)": {"device_compute_ms_max": 110.0},
+    # bench.py headline (only with --with-bench)
+    "bench:default": {"clips_per_sec_min": 245.0},
+    "bench:lane": {"clips_per_sec_min": 330.0},
+}
+
+
+def apply_gate(row: dict, scale: float = 1.0) -> dict:
+    """Attach thresholds + pass to a smoke row (CPU backends are exempt —
+    floors are chip numbers; the fake-device suite isn't a perf gate)."""
+    fl = FLOORS.get(row["preset"])
+    if not fl:
+        return row
+    checks = {}
+    if "clips_per_sec_min" in fl and "clips_per_sec" in row:
+        checks["clips_per_sec_min"] = fl["clips_per_sec_min"] * scale
+        row_ok = row["clips_per_sec"] >= checks["clips_per_sec_min"]
+    else:
+        row_ok = True
+    if "compile_s_max" in fl and row.get("compile_s") is not None:
+        checks["compile_s_max"] = fl["compile_s_max"]
+        row_ok = row_ok and row["compile_s"] <= fl["compile_s_max"]
+    if "device_compute_ms_max" in fl \
+            and row.get("device_compute_ms") is not None:
+        checks["device_compute_ms_max"] = fl["device_compute_ms_max"]
+        row_ok = row_ok and \
+            row["device_compute_ms"] <= fl["device_compute_ms_max"]
+    row["thresholds"] = checks
+    row["pass"] = bool(row_ok)
+    return row
 
 
 def smoke_one(name: str) -> dict:
@@ -130,30 +184,63 @@ def smoke_eval(name: str = "longseq_eval", num_frames: int = 1024) -> dict:
             "loss": round(1.0 - (r["ccc_v"] + r["ccc_a"]) / 2, 4)}
 
 
+def smoke_bench() -> list:
+    """bench.py's two headline measurements as gateable rows."""
+    import bench
+    rows = []
+    for label, mid_mode in (("bench:default", "flops"), ("bench:lane", "lane")):
+        cps = bench._measure(mid_mode)
+        rows.append({"preset": label, "clips_per_sec": round(cps, 1)})
+    return rows
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="SMOKE.json")
     ap.add_argument("--presets",
                     default="audio_only,visual_only,fusion,fusion+lane,"
                             "longseq_eval,distributed_train")
+    ap.add_argument("--with-bench", action="store_true",
+                    help="also run + gate bench.py's headline measurements")
+    ap.add_argument("--no-gate", action="store_true",
+                    help="record only; never exit nonzero")
+    ap.add_argument("--scale-floors", type=float, default=1.0,
+                    help="multiply throughput floors (gate self-test)")
     args = ap.parse_args(argv)
 
     from m3f.pytorch_tpu.cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
 
+    on_tpu = jax.default_backend() == "tpu"
     results = {"backend": jax.default_backend(),
-               "n_devices": len(jax.devices()), "configs": []}
+               "n_devices": len(jax.devices()),
+               "gated": bool(on_tpu and not args.no_gate), "configs": []}
     for name in args.presets.split(","):
         print(f"smoke: {name} ...", flush=True)
         # config 4's distinctive path is EVAL (sliding-window stitching), so
         # its smoke measures frames/s through evaluate_video, not a train step
         r = smoke_eval(name) if name == "longseq_eval" else smoke_one(name)
+        if on_tpu:   # floors are chip numbers; CPU runs only record
+            r = apply_gate(r, scale=args.scale_floors)
         print(f"  {r}", flush=True)
         results["configs"].append(r)
+    if args.with_bench:
+        print("smoke: bench.py headline ...", flush=True)
+        for r in smoke_bench():
+            if on_tpu:
+                r = apply_gate(r, scale=args.scale_floors)
+            print(f"  {r}", flush=True)
+            results["configs"].append(r)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out}")
+    failed = [r["preset"] for r in results["configs"]
+              if r.get("pass") is False]
+    if failed and results["gated"]:
+        print(f"SMOKE GATE FAILED: {failed} below BASELINE.md floors",
+              file=sys.stderr)
+        return 1
     return 0
 
 

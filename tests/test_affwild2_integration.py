@@ -196,3 +196,89 @@ def test_wrong_sample_rate_fails_loudly(tmp_path):
         read_wav_16k_mono(p, expected_rate=SR)
     # rate-agnostic call still reads it (tooling use)
     assert len(read_wav_16k_mono(p)) == 1000
+
+
+def test_per_video_fps_alignment(tmp_path):
+    """VERDICT r3 missing #1: Aff-Wild2 is NOT uniformly 30 fps. A 25 fps
+    video's audio windows must align to ITS rate (derived from annotation
+    rows / wav duration with zero extra decode) — and demonstrably
+    desynchronize when forced through the global 30 fps constant."""
+    root = str(tmp_path / "abaw")
+    make_fake_abaw(root, {"video_30": 40})
+    cfg = tiny_cfg(root)
+
+    # hand-build a 25 fps sibling: n frames, wav of n/25 seconds
+    fps25, n = 25.0, 50
+    vid = "video_25"
+    crop_dir = os.path.join(root, "cropped_aligned", vid)
+    os.makedirs(crop_dir)
+    rng = np.random.RandomState(1)
+    for i in range(n):
+        assert cv2.imwrite(os.path.join(crop_dir, f"{i + 1:05d}.jpg"),
+                           rng.randint(0, 255, (SIZE, SIZE, 3), np.uint8))
+    ann = os.path.join(root, "annotations", "VA_Estimation_Challenge",
+                       "Train_Set", vid + ".txt")
+    with open(ann, "w") as f:
+        f.write("valence,arousal\n")
+        for i in range(n):
+            f.write(f"{0.1:.3f},{-0.1:.3f}\n")
+    wav = rng.randn(int(round(n / fps25 * SR))).astype(np.float32) * 0.1
+    _write_wav(os.path.join(root, "audio", vid + ".wav"), wav)
+
+    ds = AffWild2Dataset(cfg.data, cfg.model.mel, split="train")
+
+    # derivation: wav-duration route lands on the true rate; the 30 fps
+    # sibling snaps exactly onto the configured rate (canonical buckets)
+    assert abs(ds.video_fps(vid) - fps25) < 0.05
+    assert ds.video_fps("video_30") == FPS
+
+    v = ds.load_video(vid)
+    assert v["fps"] == ds.video_fps(vid)
+    assert len(v["waveform"]) == int(round(n / v["fps"] * SR))
+
+    # window audio aligns to the 25 fps clock: the slice for a window
+    # starting at frame fs begins at sample round(fs / 25 * SR)
+    seq = WindowSequencer(cfg.window, cfg.model.mel, fps=FPS,
+                          mel_frames=cfg.model.audio.mel_frames_per_window)
+    from m3f.pytorch_tpu.data.windowing import samples_per_window
+    spw = samples_per_window(cfg.model.mel,
+                             cfg.model.audio.mel_frames_per_window)
+    start = 16
+    ex = seq.cut(v, start)
+    ss_true = int(round(start / v["fps"] * SR))
+    np.testing.assert_array_equal(ex["wav"][0], v["waveform"][ss_true:ss_true + spw])
+
+    # the old behavior (global 30 fps constant) reads a DIFFERENT slice —
+    # this is the silent desync the per-video rate closes
+    legacy = dict(v)
+    legacy.pop("fps")
+    ex_old = seq.cut(legacy, start)
+    ss_wrong = int(round(start / FPS * SR))
+    assert ss_wrong != ss_true
+    assert not np.array_equal(ex_old["wav"][0], ex["wav"][0])
+
+    # eval path flows the per-video rate through sample_starts end-to-end
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    r = tr.evaluate_video(state, v)
+    assert r["pred"].shape == (n, 2)
+    assert np.isfinite(r["pred"]).all()
+
+
+def test_video_fps_container_probe_wins(tmp_path):
+    """When videos/<id> exists, its header fps is authoritative (the wav
+    can be padded); garbage container rates fall through to derivation."""
+    root = str(tmp_path / "abaw")
+    make_fake_abaw(root, {"video_a": 40})
+    cfg = tiny_cfg(root)
+    vdir = os.path.join(root, "videos")
+    os.makedirs(vdir)
+    vw = cv2.VideoWriter(os.path.join(vdir, "video_a.avi"),
+                         cv2.VideoWriter_fourcc(*"MJPG"), 25.0, (SIZE, SIZE))
+    if not vw.isOpened():
+        pytest.skip("no MJPG codec in this cv2 build")
+    for _ in range(40):
+        vw.write(np.zeros((SIZE, SIZE, 3), np.uint8))
+    vw.release()
+    ds = AffWild2Dataset(cfg.data, cfg.model.mel, split="train")
+    assert abs(ds.video_fps("video_a") - 25.0) < 1e-6

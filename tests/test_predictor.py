@@ -453,3 +453,39 @@ def test_predict_video_rejects_bad_inputs():
     with pytest.raises(ValueError, match="1-D"):
         p.predict_video(frames=np.zeros((8, S, S, 3), np.uint8),
                         waveform=np.zeros((10, 2), np.float32))
+
+
+def test_predict_and_stream_honor_per_request_fps():
+    """Per-request frame rate (VERDICT r3 missing #1, serving side): an
+    off-rate capture's audio must align to ITS clock. predict_video(fps=25)
+    and a stream opened with fps=25 agree exactly; the default-rate path
+    gives a genuinely different answer on the same bytes."""
+    from m3f.pytorch_tpu.config import apply_overrides
+
+    cfg = apply_overrides(_f32(tiny_cfg(use_video=False)),
+                          {"train.mesh.num_data": 1})
+    p = Predictor(cfg=cfg)
+    sr = cfg.model.mel.sample_rate
+    n = 40
+    wav = np.random.RandomState(8).randn(
+        int(round(n / 25.0 * sr)) + sr).astype(np.float32)
+
+    off25 = p.predict_video(waveform=wav, fps=25.0)["pred"]
+    # audio-only frame count derives from the REQUEST rate
+    assert len(off25) == int(round(len(wav) / sr * 25.0))
+    off30 = p.predict_video(waveform=wav)["pred"]
+    assert len(off30) != len(off25)
+
+    sess = p.stream(fps=25.0)
+    assert sess.fps == 25.0
+    got = []
+    for i in range(0, len(wav), 9000):
+        got.append(sess.push(waveform=wav[i:i + 9000])[1])
+    got.append(sess.flush()[1])
+    np.testing.assert_allclose(np.concatenate(got), off25,
+                               rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="band"):
+        p.predict_video(waveform=wav, fps=1000.0)
+    with pytest.raises(ValueError, match="number"):
+        p.stream(fps="fast")

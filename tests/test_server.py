@@ -326,3 +326,39 @@ def test_video_http_bad_bodies_are_400s(video_server):
         json.load(r)
     with _post(f"{base}/stream/{sid}/flush", b"") as r:
         json.load(r)
+
+
+def test_fps_query_params(server):
+    """?fps=R on /predict and /stream/open threads the capture's true rate
+    through serving; bad values are 400s."""
+    p, base = server
+    sr = p.cfg.model.mel.sample_rate
+    wav = np.random.RandomState(31).randn(
+        int(round(30 / 25.0 * sr)) + sr).astype(np.float32)
+    want = p.predict_video(waveform=wav, fps=25.0)["pred"]
+    buf = io.BytesIO()
+    np.savez(buf, waveform=wav)
+    with _post(base + "/predict?fps=25", buf.getvalue()) as r:
+        pred = np.asarray(json.load(r)["pred"], np.float32)
+    np.testing.assert_allclose(pred, want, rtol=1e-5, atol=1e-6)
+
+    with _post(base + "/stream/open?fps=25", b"") as r:
+        sid = json.load(r)["id"]
+    got = []
+    for i in range(0, len(wav), 9000):
+        b2 = io.BytesIO()
+        np.savez(b2, waveform=wav[i:i + 9000])
+        with _post(f"{base}/stream/{sid}/push", b2.getvalue()) as r:
+            got.append(json.load(r)["pred"])
+    with _post(f"{base}/stream/{sid}/flush", b"") as r:
+        got.append(json.load(r)["pred"])
+    pred_s = np.concatenate([np.asarray(g, np.float32).reshape(-1, 2)
+                             for g in got])
+    np.testing.assert_allclose(pred_s, want, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict?fps=999", buf.getvalue())
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/stream/open?fps=abc", b"")
+    assert e.value.code == 400
