@@ -252,6 +252,11 @@ def export_bn(p: Dict, s: Dict, prefix: str, out: Dict[str, Array]):
     out[f"{prefix}.bias"] = np.asarray(p["bias"])
     out[f"{prefix}.running_mean"] = np.asarray(s["mean"])
     out[f"{prefix}.running_var"] = np.asarray(s["var"])
+    # torch BatchNorm state_dicts carry this int64 counter and a STRICT
+    # load_state_dict reports it missing otherwise; 0 is torch's fresh
+    # value and it only influences running stats under momentum=None
+    # (which this framework's EMA-style BN never uses)
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
 
 
 def export_gru(p: Dict, prefix: str, out: Dict[str, Array]):

@@ -57,3 +57,88 @@ def test_export_derives_stage_boundaries():
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         import numpy as np
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_full_size_converter_drill(tmp_path):
+    """VERDICT r3 missing #2 drill: a FULL-SIZE r2plus1d_18-schema M3F
+    state_dict (real channel widths 64-512, (2,2,2,2), GRU 256 — 33.4M
+    params) round-trips import_torch_checkpoint → model init → export
+    BYTE-stably, and the exported key set/shapes/dtypes equal the
+    checked-in torchvision-schema manifest (tests/r2plus1d18_m3f_keys.json)
+    — as close to a real IG-65M/Kinetics file as this image permits."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO := os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from torch_golden import M3FGolden, state_dict_numpy
+
+    torch.manual_seed(0)
+    golden = M3FGolden()
+    sd0 = state_dict_numpy(golden)
+
+    # the golden's schema IS the documented manifest (names, shapes, dtypes)
+    with open(os.path.join(REPO, "tests", "r2plus1d18_m3f_keys.json")) as f:
+        manifest = json.load(f)
+    assert set(sd0) == set(manifest)
+    for k, v in sd0.items():
+        assert list(v.shape) == manifest[k]["shape"], k
+        assert str(v.dtype) == manifest[k]["dtype"], k
+
+    pt = str(tmp_path / "golden.pt")
+    torch.save(golden.state_dict(), pt)
+
+    # import → flat npz
+    npz = str(tmp_path / "imported.npz")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "import_torch_checkpoint.py"),
+         pt, npz, "--kind", "m3f"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+
+    # init a REAL full-size model and load the import into it (shapes must
+    # agree leaf-for-leaf with a fresh init of the default config)
+    from m3f.pytorch_tpu.config import ModelConfig
+    from m3f.pytorch_tpu.models.m3f import M3F
+    from m3f.pytorch_tpu.train.checkpoint import (load_pretrained_init,
+                                                  save_pytree)
+    model = M3F(ModelConfig())
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = load_pretrained_init(params, state, npz)
+
+    # export back to the torch schema and compare BYTES against the source
+    loaded_npz = str(tmp_path / "state.npz")
+    save_pytree({"params": jax.device_get(params),
+                 "state": jax.device_get(state)}, loaded_npz)
+    out_pt = str(tmp_path / "exported.pt")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "export_torch_checkpoint.py"),
+         loaded_npz, out_pt],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    sd1 = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+           for k, v in torch.load(out_pt, map_location="cpu",
+                                  weights_only=False).items()}
+    assert set(sd1) == set(manifest)
+    for k in sd0:
+        if k.endswith("num_batches_tracked"):
+            continue   # int64 counter, value-irrelevant (export writes 0)
+        assert sd0[k].tobytes() == sd1[k].tobytes(), f"byte drift at {k}"
+
+    # and the exported file loads STRICTLY into a fresh torch golden
+    missing, unexpected = M3FGolden().load_state_dict(
+        torch.load(out_pt, map_location="cpu", weights_only=False),
+        strict=True)
+    assert not missing and not unexpected
