@@ -8,6 +8,32 @@ Postprocess chain (reference semantics, SURVEY §3.3):
   stitched per-frame preds → optional moving-average smoothing →
   interpolate frames with no valid prediction → clip to [-1, 1] →
   one txt per video: header line then "v,a" per frame.
+
+ABAW-SERVER FORMAT ASSUMPTION SHEET (VERDICT r3 missing #4). The exact
+server contract is unverifiable in this environment (reference mount empty,
+no network); every assumption below is [UNVERIFIED] and centralized HERE so
+a first real submission is a five-minute diff, not archaeology:
+
+  A1 header      — exactly ``valence,arousal`` (lowercase, comma, no
+                   spaces), one line, ``\n`` line endings throughout.
+  A2 rounding    — 6 decimal places, fixed-point (``f"{x:.6f}"``). The
+                   organizers' examples show varying precision; anything
+                   within float32 print precision is assumed accepted.
+  A3 row count   — one row per CONTAINER frame (annotation row count on
+                   train/val; for test videos, max crop stem or the raw
+                   container's frame count when ``videos/`` exists —
+                   data/affwild2.py _test_frame_count). A crop dir shorter
+                   than the container must NOT shorten the file.
+  A4 invalid     — frames with no valid prediction (missing crop, -5 row)
+                   still get a row: linearly interpolated from neighboring
+                   valid frames, edges extended (ops/stitch.py
+                   interpolate_gaps); never a sentinel like -5.
+  A5 range       — values clipped to [-1, 1] inclusive; the server is
+                   assumed to reject values outside it.
+  A6 layout      — one ``<video_id>.txt`` per video, flat directory; ids
+                   exactly as the annotation/crop-dir stems (including
+                   ``_left``/``_right`` suffixes for two-face videos).
+  A7 no index    — rows carry no frame number/timestamp column.
 """
 
 from __future__ import annotations
