@@ -346,7 +346,10 @@ class PredictServer:
         if self.stream_ttl_s <= 0:
             return
         now = time.monotonic()
-        stale = [sid for sid, t in self._touched.items()
+        # snapshot: push/flush routes update _touched entries outside this
+        # lock (atomic assignments), and a re-touch racing an eviction may
+        # INSERT — iterating the live dict could raise dict-changed-size
+        stale = [sid for sid, t in list(self._touched.items())
                  if now - t > self.stream_ttl_s]
         for sid in stale:
             self._drop_stream(sid)
@@ -436,12 +439,16 @@ class PredictServer:
 
 
 def run_server(predictor, host: str = "127.0.0.1", port: int = 8321,
-               warmup_frames: Optional[int] = 1024, log=print):
+               warmup_frames: Optional[int] = 1024, log=print,
+               max_streams: int = 64, stream_ttl_s: float = 300.0,
+               push_timeout_s: float = 30.0):
     """CLI entry body: warm the shape buckets, then serve until SIGINT."""
     if warmup_frames:
         log(f"warming shape buckets up to {warmup_frames} frames ...")
         predictor.warmup(max_frames=warmup_frames)
-    srv = PredictServer(predictor, host=host, port=port)
+    srv = PredictServer(predictor, host=host, port=port,
+                        max_streams=max_streams, stream_ttl_s=stream_ttl_s,
+                        push_timeout_s=push_timeout_s)
     if warmup_frames:
         # the micro-batcher's power-of-two [b, W, ...] buckets are separate
         # graphs; cold ones would compile while the batch leader holds the

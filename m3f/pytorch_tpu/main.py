@@ -310,6 +310,14 @@ def main(argv=None) -> int:
     sp.add_argument("--warmup-frames", type=int, default=1024,
                     help="pre-compile shape buckets up to this many frames "
                          "(0 = first request pays the compile)")
+    sp.add_argument("--max-streams", type=int, default=64,
+                    help="concurrent live-stream session cap (429 beyond)")
+    sp.add_argument("--stream-ttl", type=float, default=300.0,
+                    help="evict live streams idle this many seconds "
+                         "(410 on next touch; 0 = never evict)")
+    sp.add_argument("--push-timeout", type=float, default=30.0,
+                    help="max seconds a push may wait behind the "
+                         "micro-batcher before answering 503")
     sp.add_argument("overrides", nargs="*")
     sp = sub.add_parser("export", help="export weights / serving artifacts")
     sp.add_argument("--preset", default="fusion", choices=_PRESET_CHOICES)
@@ -336,7 +344,10 @@ def main(argv=None) -> int:
         from m3f.pytorch_tpu.infer.server import run_server
         return run_server(Predictor(cfg=cfg, checkpoint=args.checkpoint),
                           host=args.host, port=args.port,
-                          warmup_frames=args.warmup_frames)
+                          warmup_frames=args.warmup_frames,
+                          max_streams=args.max_streams,
+                          stream_ttl_s=args.stream_ttl,
+                          push_timeout_s=args.push_timeout)
     return {"train": cmd_train, "eval": cmd_eval, "predict": cmd_predict}[args.cmd](cfg, args)
 
 

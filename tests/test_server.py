@@ -362,3 +362,76 @@ def test_fps_query_params(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base + "/stream/open?fps=abc", b"")
     assert e.value.code == 400
+
+
+def test_concurrent_lifecycle_stress(server):
+    """Races the batcher against flush/open/evict/bad-bodies: mixed traffic
+    from many threads must produce only expected status codes (200/400/
+    404/410/429), never 500s or dropped connections, and leave the server
+    consistent (all slots reclaimable afterwards)."""
+    import threading
+    import time as _time
+
+    p, _ = server
+    srv = PredictServer(p, port=0, max_streams=8, stream_ttl_s=0.6)
+    srv.start_background()
+    base = f"http://127.0.0.1:{srv.port}"
+    wav = _wav(24, p.cfg, seed=77)
+    unexpected = []
+
+    def worker(i):
+        rng = np.random.RandomState(i)
+        try:
+            for _ in range(6):
+                r = rng.rand()
+                try:
+                    if r < 0.45:          # open → pushes → maybe flush
+                        with _post(base + "/stream/open", b"") as resp:
+                            sid = json.load(resp)["id"]
+                        for j in range(2):
+                            buf = io.BytesIO()
+                            if rng.rand() < 0.25:   # malformed push
+                                np.savez(buf, frames=np.zeros(
+                                    (2, 4, 4, 3), np.uint8))
+                            else:
+                                k = int(rng.randint(2000, 9000))
+                                np.savez(buf, waveform=wav[:k])
+                            _post(f"{base}/stream/{sid}/push", buf.getvalue())
+                        if rng.rand() < 0.7:
+                            _post(f"{base}/stream/{sid}/flush", b"")
+                    elif r < 0.7:         # push to a random (often dead) id
+                        buf = io.BytesIO()
+                        np.savez(buf, waveform=wav[:3000])
+                        _post(f"{base}/stream/s{int(rng.randint(40))}/push",
+                              buf.getvalue())
+                    elif r < 0.85:        # whole-video predict
+                        buf = io.BytesIO()
+                        np.savez(buf, waveform=wav)
+                        _post(base + "/predict", buf.getvalue())
+                    else:                 # statz polls the eviction scan
+                        urllib.request.urlopen(base + "/statz", timeout=30)
+                except urllib.error.HTTPError as e:
+                    if e.code not in (400, 404, 410, 429):
+                        unexpected.append((i, e.code, e.read()[:200]))
+        except Exception as e:  # noqa: BLE001 — dropped conns etc.
+            unexpected.append((i, type(e).__name__, str(e)[:200]))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not unexpected, unexpected[:5]
+
+    # consistency afterwards: idle sessions age out and capacity returns
+    _time.sleep(0.8)
+    sids = []
+    for _ in range(8):
+        with _post(base + "/stream/open", b"") as r:
+            sids.append(json.load(r)["id"])
+    assert len(sids) == 8
+    with urllib.request.urlopen(base + "/statz", timeout=30) as r:
+        s = json.load(r)
+    assert s["active_streams"] == 8
+    assert s["responses"].get("stream/push:5xx", 0) == 0
+    srv.shutdown()
