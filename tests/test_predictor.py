@@ -495,3 +495,31 @@ def test_predict_and_stream_honor_per_request_fps():
         p.predict_video(waveform=wav, fps=1000.0)
     with pytest.raises(ValueError, match="number"):
         p.stream(fps="fast")
+
+
+def test_streaming_fps_fuzz_matches_offline():
+    """Property: for RANDOM in-band frame rates and random push chunkings,
+    a stream opened at rate R reproduces predict_video(fps=R) exactly —
+    the per-video time base never breaks the offline-equality contract."""
+    from m3f.pytorch_tpu.config import apply_overrides
+
+    cfg = apply_overrides(_f32(tiny_cfg(use_video=False)),
+                          {"train.mesh.num_data": 1})
+    p = Predictor(cfg=cfg)
+    sr = cfg.model.mel.sample_rate
+    for seed in range(4):
+        rng = np.random.RandomState(300 + seed)
+        fps = float(rng.uniform(12.0, 60.0))
+        n = int(rng.randint(18, 40))
+        wav = rng.randn(int(round(n / fps * sr)) + sr).astype(np.float32)
+        offline = p.predict_video(waveform=wav, fps=fps)["pred"]
+        sess = p.stream(fps=fps)
+        got, i = [], 0
+        while i < len(wav):
+            k = int(rng.randint(1500, 9000))
+            got.append(sess.push(waveform=wav[i:i + k])[1])
+            i += k
+        got.append(sess.flush()[1])
+        np.testing.assert_allclose(
+            np.concatenate(got), offline, rtol=1e-5, atol=1e-5,
+            err_msg=f"seed {seed} fps {fps:.3f}")
