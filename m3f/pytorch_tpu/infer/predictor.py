@@ -117,8 +117,16 @@ class Predictor:
                 "emitted stream downstream, or use eval_smooth=1")
         return StreamingSession(self, fps=_check_fps(fps))
 
-    def warmup(self, max_frames: int = 1024) -> None:
+    def warmup(self, max_frames: int = 1024,
+               rates: Tuple[float, ...] = ()) -> None:
         """Pre-compile the eval graph for videos up to ``max_frames``.
+
+        ``rates``: additional per-request frame rates (``?fps=R`` clients)
+        to warm. An off-rate whole-video request sizes its wav buffer by
+        its own clock (bucketed to whole seconds), so each expected rate
+        has its own small set of wav-shape buckets; un-warmed ones compile
+        on the first live request. Streaming sessions need nothing here —
+        their [k, W, ...] forwards are shape-identical across rates.
 
         The whole-video eval buckets shapes (frame count to 256s, window
         count to the mesh-aligned bucket), so one warmup call per bucket
@@ -152,18 +160,21 @@ class Predictor:
                 reps.append(n)
         if chunked_rep:
             reps.append(chunked_rep)
-        for n in reps:
-            kw = {}
-            if self.cfg.model.use_video:
-                S = self.cfg.data.image_size
-                kw["frames"] = np.zeros((n, S, S, 3), np.uint8)
-            if self.cfg.model.use_audio:
-                # exactly n frames' worth: for audio-only models the frame
-                # count derives from the waveform length, and extra headroom
-                # would land in the NEXT bucket, leaving this one cold
-                # (_dispatch_eval pads the tail host-side anyway)
-                kw["waveform"] = np.zeros(int(round(n / fps * sr)), np.float32)
-            self.predict_video(**kw)
+        for r in (None,) + tuple(rates):
+            r_eff = r or fps
+            for n in reps:
+                kw = {}
+                if self.cfg.model.use_video:
+                    S = self.cfg.data.image_size
+                    kw["frames"] = np.zeros((n, S, S, 3), np.uint8)
+                if self.cfg.model.use_audio:
+                    # exactly n frames' worth: for audio-only models the
+                    # frame count derives from the waveform length, and
+                    # extra headroom would land in the NEXT bucket, leaving
+                    # this one cold (_dispatch_eval pads the tail host-side)
+                    kw["waveform"] = np.zeros(
+                        int(round(n / r_eff * sr)), np.float32)
+                self.predict_video(fps=r, **kw)
         if self.cfg.model.per_frame and self.cfg.window.eval_smooth <= 1:
             # streaming sessions use a DIFFERENT jit (the fixed-shape
             # [1, W, ...] group forward) — pre-compile it too, or the first

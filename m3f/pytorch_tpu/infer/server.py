@@ -441,11 +441,14 @@ class PredictServer:
 def run_server(predictor, host: str = "127.0.0.1", port: int = 8321,
                warmup_frames: Optional[int] = 1024, log=print,
                max_streams: int = 64, stream_ttl_s: float = 300.0,
-               push_timeout_s: float = 30.0):
+               push_timeout_s: float = 30.0, warmup_rates=()):
     """CLI entry body: warm the shape buckets, then serve until SIGINT."""
     if warmup_frames:
-        log(f"warming shape buckets up to {warmup_frames} frames ...")
-        predictor.warmup(max_frames=warmup_frames)
+        log(f"warming shape buckets up to {warmup_frames} frames "
+            + (f"(+ rates {list(warmup_rates)}) " if warmup_rates else "")
+            + "...")
+        predictor.warmup(max_frames=warmup_frames,
+                         rates=tuple(warmup_rates))
     srv = PredictServer(predictor, host=host, port=port,
                         max_streams=max_streams, stream_ttl_s=stream_ttl_s,
                         push_timeout_s=push_timeout_s)

@@ -310,6 +310,10 @@ def main(argv=None) -> int:
     sp.add_argument("--warmup-frames", type=int, default=1024,
                     help="pre-compile shape buckets up to this many frames "
                          "(0 = first request pays the compile)")
+    sp.add_argument("--warmup-fps", default="",
+                    help="comma list of expected client frame rates to "
+                         "pre-compile (?fps=R whole-video requests), "
+                         "e.g. 25,24")
     sp.add_argument("--max-streams", type=int, default=64,
                     help="concurrent live-stream session cap (429 beyond)")
     sp.add_argument("--stream-ttl", type=float, default=300.0,
@@ -342,12 +346,14 @@ def main(argv=None) -> int:
     if args.cmd == "serve":
         from m3f.pytorch_tpu.infer import Predictor
         from m3f.pytorch_tpu.infer.server import run_server
+        rates = tuple(float(r) for r in args.warmup_fps.split(",") if r)
         return run_server(Predictor(cfg=cfg, checkpoint=args.checkpoint),
                           host=args.host, port=args.port,
                           warmup_frames=args.warmup_frames,
                           max_streams=args.max_streams,
                           stream_ttl_s=args.stream_ttl,
-                          push_timeout_s=args.push_timeout)
+                          push_timeout_s=args.push_timeout,
+                          warmup_rates=rates)
     return {"train": cmd_train, "eval": cmd_eval, "predict": cmd_predict}[args.cmd](cfg, args)
 
 

@@ -523,3 +523,18 @@ def test_streaming_fps_fuzz_matches_offline():
         np.testing.assert_allclose(
             np.concatenate(got), offline, rtol=1e-5, atol=1e-5,
             err_msg=f"seed {seed} fps {fps:.3f}")
+
+
+def test_warmup_rates_cover_off_rate_requests():
+    """warmup(rates=(25,)) pre-compiles the off-rate wav buckets so a
+    live ?fps=25 whole-video request never compiles under load."""
+    cfg = tiny_cfg(use_video=False)
+    p = Predictor(cfg=cfg)
+    p.warmup(max_frames=256, rates=(25.0,))
+    sr = cfg.model.mel.sample_rate
+    wav = np.random.RandomState(1).randn(
+        int(round(40 / 25.0 * sr))).astype(np.float32)
+    out = p.predict_video(waveform=wav, fps=25.0)
+    assert np.isfinite(out["pred"]).all()
+    with pytest.raises(ValueError, match="band"):
+        p.warmup(max_frames=64, rates=(999.0,))
