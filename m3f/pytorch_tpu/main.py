@@ -323,6 +323,15 @@ def main(argv=None) -> int:
                     help="max seconds a push may wait behind the "
                          "micro-batcher before answering 503")
     sp.add_argument("overrides", nargs="*")
+    sp = sub.add_parser("doctor",
+                        help="dataset pre-flight: scan the ABAW tree for "
+                             "wav-rate/fps/crop/annotation problems "
+                             "(header reads only, no decode)")
+    sp.add_argument("--preset", default="fusion", choices=_PRESET_CHOICES)
+    sp.add_argument("--splits", default="train,val,test")
+    sp.add_argument("--json", action="store_true",
+                    help="one JSON row per video instead of console lines")
+    sp.add_argument("overrides", nargs="*")
     sp = sub.add_parser("export", help="export weights / serving artifacts")
     sp.add_argument("--preset", default="fusion", choices=_PRESET_CHOICES)
     sp.add_argument("--checkpoint", default="", help="TrainState or imported npz")
@@ -343,6 +352,10 @@ def main(argv=None) -> int:
     cfg = build_config(args.preset, args.overrides)
     from m3f.pytorch_tpu.utils.logging import console_log
     console_log(f"config {cfg.name} hash={cfg.config_hash()}")
+    if args.cmd == "doctor":
+        from m3f.pytorch_tpu.data.doctor import run_doctor
+        return run_doctor(cfg, splits=tuple(
+            s for s in args.splits.split(",") if s), as_json=args.json)
     if args.cmd == "serve":
         from m3f.pytorch_tpu.infer import Predictor
         from m3f.pytorch_tpu.infer.server import run_server

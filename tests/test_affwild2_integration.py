@@ -282,3 +282,60 @@ def test_video_fps_container_probe_wins(tmp_path):
     vw.release()
     ds = AffWild2Dataset(cfg.data, cfg.model.mel, split="train")
     assert abs(ds.video_fps("video_a") - 25.0) < 1e-6
+
+
+def test_doctor_preflight(tmp_path, capsys):
+    """`m3f doctor` (data/doctor.py): header-only scan flags wrong wav
+    rates, off-rate videos, crop dropout, and missing trees — the silent
+    failure classes — without decoding a single JPEG or audio sample."""
+    from m3f.pytorch_tpu.data.doctor import run_doctor
+
+    root = str(tmp_path / "abaw")
+    make_fake_abaw(root, {"video_a": 40, "video_b": 36})
+    cfg = tiny_cfg(root)
+
+    # healthy tree: rc 0, no errors
+    lines = []
+    rc = run_doctor(cfg, splits=("train",), log=lines.append)
+    assert rc == 0
+    assert any("2 videos, 0 with errors" in l for l in lines)
+
+    # break video_b's wav rate → error + rc 1; add an off-rate video_c
+    with wave.open(os.path.join(root, "audio", "video_b.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44_100)
+        w.writeframes(np.zeros(1000, "<i2").tobytes())
+    crop_dir = os.path.join(root, "cropped_aligned", "video_c")
+    os.makedirs(crop_dir)
+    rng = np.random.RandomState(0)
+    for i in range(25):
+        assert cv2.imwrite(os.path.join(crop_dir, f"{i + 1:05d}.jpg"),
+                           rng.randint(0, 255, (SIZE, SIZE, 3), np.uint8))
+    ann = os.path.join(root, "annotations", "VA_Estimation_Challenge",
+                       "Train_Set", "video_c.txt")
+    with open(ann, "w") as f:
+        f.write("valence,arousal\n" + "0.1,0.2\n" * 25)
+    _write_wav(os.path.join(root, "audio", "video_c.wav"),
+               np.zeros(int(round(25 / 25.0 * SR)), np.float32))
+
+    lines = []
+    rc = run_doctor(cfg, splits=("train",), log=lines.append)
+    assert rc == 1
+    out = "\n".join(lines)
+    assert "wav rate 44100" in out
+    assert "off-rate video" in out and "25.0" in out
+    assert "1 off-rate" in out
+
+    # JSON mode emits one parseable row per video
+    import json as _json
+    lines = []
+    run_doctor(cfg, splits=("train",), log=lines.append, as_json=True)
+    rows = [_json.loads(l) for l in lines if l.startswith("{")]
+    assert {r["video"] for r in rows} == {"video_a", "video_b", "video_c"}
+
+    # empty root: rc 1 with a pointer, not a crash
+    cfg2 = tiny_cfg(str(tmp_path / "nowhere"))
+    lines = []
+    assert run_doctor(cfg2, splits=("train",), log=lines.append) == 1
+    assert any("no videos found" in l for l in lines)
