@@ -339,3 +339,35 @@ def test_doctor_preflight(tmp_path, capsys):
     lines = []
     assert run_doctor(cfg2, splits=("train",), log=lines.append) == 1
     assert any("no videos found" in l for l in lines)
+
+
+def test_video_fps_snap_band_is_drift_based(tmp_path):
+    """The snap-to-default policy is an end-of-video DRIFT criterion
+    (< half a mel hop), not a blanket relative tolerance: a SHORT 29.97
+    video snaps to 30 (stays on canonical buckets) while a LONG one keeps
+    its own clock (its ~0.1% skew accumulates past a hop by the end)."""
+    root = str(tmp_path / "abaw")
+    make_fake_abaw(root, {"video_a": 40})
+    cfg = tiny_cfg(root)
+
+    def add_video(vid, n, fps):
+        ann = os.path.join(root, "annotations", "VA_Estimation_Challenge",
+                           "Train_Set", vid + ".txt")
+        with open(ann, "w") as f:
+            f.write("valence,arousal\n" + "0.1,0.2\n" * n)
+        os.makedirs(os.path.join(root, "cropped_aligned", vid),
+                    exist_ok=True)
+        _write_wav(os.path.join(root, "audio", vid + ".wav"),
+                   np.zeros(int(round(n / fps * SR)), np.float32))
+
+    ntsc = 30000.0 / 1001.0              # 29.97
+    add_video("short_ntsc", 90, ntsc)    # 3 s: drift ~48 samples < hop/2
+    add_video("long_ntsc", 5400, ntsc)   # 3 min: drift ~2900 samples
+    ds = AffWild2Dataset(cfg.data, cfg.model.mel, split="train")
+    hop_half = cfg.model.mel.hop_length / 2
+
+    assert ds.video_fps("short_ntsc") == FPS          # snapped
+    long_fps = ds.video_fps("long_ntsc")
+    assert long_fps != FPS and abs(long_fps - ntsc) < 0.01
+    drift = abs(5400 / long_fps - 5400 / FPS) * SR
+    assert drift > hop_half               # the reason it must not snap
