@@ -38,14 +38,15 @@ def check_video(ds: AffWild2Dataset, vid: str) -> Dict:
     row: Dict = {"video": vid, "errors": [], "warnings": []}
     cfg, mel = ds.cfg, ds.mel
 
-    # annotations / timeline length
+    # annotations / timeline length (test split: crop-stem/container count)
     try:
         n = ds.num_frames(vid)
         row["frames"] = n
         if n <= 0:
             row["errors"].append("empty timeline (no annotation rows/crops)")
     except Exception as e:  # noqa: BLE001 — report, don't crash the scan
-        row["errors"].append(f"annotation unreadable: {e}")
+        what = "crop dir" if ds._ann_dir is None else "annotation"
+        row["errors"].append(f"{what} unreadable: {e}")
         return row
 
     # crop coverage (stems only, no decode)

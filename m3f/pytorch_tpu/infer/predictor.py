@@ -160,6 +160,8 @@ class Predictor:
                 reps.append(n)
         if chunked_rep:
             reps.append(chunked_rep)
+        if not self.cfg.model.use_audio:
+            rates = ()   # only wav shapes vary with the rate
         for r in (None,) + tuple(rates):
             r_eff = r or fps
             for n in reps:
