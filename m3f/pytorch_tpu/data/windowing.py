@@ -82,10 +82,12 @@ class WindowSequencer:
             else:
                 labs.append(window_label(labels[fs:fe], valid[fs:fe]))
                 mask.append(bool(valid[fs:fe].any()))
+        # stack already copies; astype(copy=False) avoids a SECOND full copy
+        # when the source dtype is already right (the common case)
         return {
-            "video": np.stack(vids).astype(np.uint8),
-            "wav": np.stack(wavs).astype(np.float32),
-            "labels": np.stack(labs).astype(np.float32),
+            "video": np.stack(vids).astype(np.uint8, copy=False),
+            "wav": np.stack(wavs).astype(np.float32, copy=False),
+            "labels": np.stack(labs).astype(np.float32, copy=False),
             "mask": np.asarray(mask, dtype=bool),
         }
 
