@@ -32,6 +32,26 @@ def test_synthetic_schema():
     np.testing.assert_array_equal(v["frames"], v2["frames"])
 
 
+def test_synthetic_uint8_path_matches_float_reference():
+    """The uint8-only frame synthesis (round-4 host-pipeline fix) must stay
+    BITWISE identical to the original float32 round-trip it replaced:
+    base is integer so floor(base + b) == base + floor(b), and the sum is
+    provably < 256 so the uint8 add cannot wrap."""
+    ds = SyntheticAVDataset(DATA, MEL)
+    for vid in ds.video_ids():
+        idx = int(vid.split("_")[-1])
+        rng = np.random.RandomState(ds.seed * 10_007 + idx)
+        n = ds.frames_per_video
+        t_frame = np.arange(n) / DATA.fps
+        fv, fa = rng.uniform(0.05, 0.2, 2)
+        pv, pa = rng.uniform(0, 2 * np.pi, 2)
+        valence = 0.9 * np.sin(2 * np.pi * fv * t_frame + pv)
+        base = rng.randint(0, 64, (n, ds.size, ds.size, 3), dtype=np.uint8)
+        brightness = ((valence + 1.0) * 0.5 * 160.0)[:, None, None, None]
+        ref = (base.astype(np.float32) + brightness).astype(np.uint8)
+        np.testing.assert_array_equal(ds.load_video(vid)["frames"], ref)
+
+
 def test_window_sequencer_shapes_per_frame():
     """Default (per_frame=True): per-frame labels [W, L, 2] + mask [W, L]."""
     ds = SyntheticAVDataset(DATA, MEL)
