@@ -191,6 +191,11 @@ class DataConfig:
     num_workers: int = 4
     prefetch: int = 2
     shuffle_buffer: int = 256   # cross-video example mixing (0 = off)
+    # Decode-cache capacity of the train stream in whole videos (see
+    # data/windowing.example_stream). 1 = decode each video once per epoch
+    # (safe anywhere); RAM-rich hosts raise it to keep decoded videos
+    # across epochs. Host-memory/CPU trade only — batches are identical.
+    cache_videos: int = 1
     # On-device train-time augmentation (ops/augment.py) — runs inside the
     # jitted step on the uint8 batch (zero extra host work / H2D bytes).
     # UNVERIFIED vs reference; standard for the task, off by default.

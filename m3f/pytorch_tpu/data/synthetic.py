@@ -33,11 +33,21 @@ class SyntheticAVDataset:
     mel: MelConfig
     seed: int = 0
     image_size: int = 0   # 0 → cfg.image_size
+    cache: bool = True    # memoize generated videos (see __post_init__)
 
     def __post_init__(self):
         self.size = self.image_size or self.cfg.image_size
         self.num_videos = self.cfg.synthetic_num_videos
         self.frames_per_video = self.cfg.synthetic_video_frames
+        # Generation is deterministic per video id, so memoizing is exact.
+        # Without it the train stream regenerates every video once per epoch
+        # (~113 ms per 600×112² video ≈ ALL of the measured 108 ms/batch
+        # host-pipeline cost in the e2e bench). Memory is bounded by the
+        # synthetic set's total size (num_videos × frames × S² × 3 bytes;
+        # the bench config's 8×600×112² ≈ 180 MB) — synthetic sets are small
+        # by construction. Real datasets keep per-epoch decode semantics
+        # (see example_stream's cache_videos knob).
+        self._cache: Dict[str, Dict[str, np.ndarray]] = {} if self.cache else None
 
     def video_ids(self):
         return [f"synth_{i:04d}" for i in range(self.num_videos)]
@@ -49,6 +59,10 @@ class SyntheticAVDataset:
     def load_video(self, video_id: str) -> Dict[str, np.ndarray]:
         """Returns frames uint8 [N,S,S,3], waveform f32 [T], labels f32 [N,2],
         valid bool [N]."""
+        if self._cache is not None and video_id in self._cache:
+            # fresh dict, shared (treated-as-immutable) arrays — callers that
+            # add keys (e.g. a per-request fps) must not corrupt the cache
+            return dict(self._cache[video_id])
         idx = int(video_id.split("_")[-1])
         rng = np.random.RandomState(self.seed * 10_007 + idx)
         n = self.frames_per_video
@@ -91,4 +105,7 @@ class SyntheticAVDataset:
             span = rng.randint(2, 8)
             valid[s:s + span] = False
             labels[s:s + span] = INVALID_LABEL
-        return {"frames": frames, "waveform": wav, "labels": labels, "valid": valid}
+        out = {"frames": frames, "waveform": wav, "labels": labels, "valid": valid}
+        if self._cache is not None:
+            self._cache[video_id] = dict(out)
+        return out

@@ -116,7 +116,8 @@ def video_num_frames(dataset, video_id: str) -> int:
 def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
                    seed: int = 0, loop: bool = True,
                    shuffle_buffer: int = 0,
-                   skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                   skip_batches: int = 0,
+                   cache_videos: int = 1) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled (video, start) example stream → batched dict iterator.
 
     Loads one video at a time (videos are large); shuffles across the
@@ -134,6 +135,13 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     ``dataset.num_frames`` when available). The only decode cost is at the
     skip boundary: up to ``shuffle_buffer`` reservoir entries produced
     during the skip are materialized lazily as they are drawn.
+
+    ``cache_videos`` is the decode-cache capacity in whole videos (default
+    1 = each video decoded once per epoch, one resident at a time — the
+    right setting when videos are hundreds of MB). RAM-rich production
+    hosts can raise it to keep hot videos decoded ACROSS epochs; N ≥ the
+    dataset's video count decodes everything exactly once per run. Purely
+    a host-memory/CPU trade — the emitted batches are identical.
     """
     rng = np.random.RandomState(seed)
     ids = dataset.video_ids()
@@ -163,12 +171,13 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
     # LRU-2 kept an extra ~hundreds-of-MB video resident forever).
     cache: Dict[int, Dict[str, np.ndarray]] = {}
     pending_tuples = 0  # skip-era index tuples still in pool/batch
+    base_cap = max(1, cache_videos)
 
     def load(vi):
         if vi in cache:
             cache[vi] = cache.pop(vi)  # refresh LRU order
         else:
-            cap = 2 if (skipping() or pending_tuples) else 1
+            cap = base_cap + 1 if (skipping() or pending_tuples) else base_cap
             while len(cache) >= cap:
                 cache.pop(next(iter(cache)))  # evict least-recently-used
             cache[vi] = dataset.load_video(ids[vi])
@@ -210,11 +219,11 @@ def example_stream(dataset, sequencer: WindowSequencer, batch_size: int,
                                   for e in batch])
         # tuples leave the pool/batch here whether cut or discarded; once
         # the last one drains, release the boundary slot immediately (a
-        # lazy shrink-on-next-load would keep two videos resident when the
-        # stream never loads another)
+        # lazy shrink-on-next-load would keep an extra video resident when
+        # the stream never loads another)
         pending_tuples -= sum(1 for e in batch if isinstance(e, tuple))
         if not skipping() and not pending_tuples:
-            while len(cache) > 1:
+            while len(cache) > base_cap:
                 cache.pop(next(iter(cache)))  # keep the most recently used
         emitted += 1
         return out
@@ -297,6 +306,7 @@ def process_sharded_stream(dataset, sequencer: WindowSequencer,
                            local_batch_size: int, *, seed: int = 0,
                            loop: bool = True, shuffle_buffer: int = 0,
                            skip_batches: int = 0,
+                           cache_videos: int = 1,
                            process_index: Optional[int] = None,
                            process_count: Optional[int] = None
                            ) -> Iterator[Dict[str, np.ndarray]]:
@@ -321,7 +331,8 @@ def process_sharded_stream(dataset, sequencer: WindowSequencer,
         yield from example_stream(dataset, sequencer, local_batch_size,
                                   seed=seed, loop=loop,
                                   shuffle_buffer=shuffle_buffer,
-                                  skip_batches=skip_batches)
+                                  skip_batches=skip_batches,
+                                  cache_videos=cache_videos)
         return
     ids = dataset.video_ids()
     if len(ids) >= pc:
@@ -329,13 +340,15 @@ def process_sharded_stream(dataset, sequencer: WindowSequencer,
         yield from example_stream(sub, sequencer, local_batch_size,
                                   seed=seed + 1_000_003 * pi, loop=loop,
                                   shuffle_buffer=shuffle_buffer,
-                                  skip_batches=skip_batches)
+                                  skip_batches=skip_batches,
+                                  cache_videos=cache_videos)
         return
     # tiny-dataset fallback (fewer videos than processes): example-level
     # interleave. skip here drops formed local batches — materialization
     # cost is bounded by the dataset being tiny by definition of this path
     src = example_stream(dataset, sequencer, 1, seed=seed, loop=loop,
-                         shuffle_buffer=shuffle_buffer)
+                         shuffle_buffer=shuffle_buffer,
+                         cache_videos=cache_videos)
     batch: List[Dict[str, np.ndarray]] = []
     skipped = 0
     for i, b in enumerate(src):

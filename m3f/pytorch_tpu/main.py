@@ -131,7 +131,8 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
             process_sharded_stream(ds, seq, cfg.train.batch_size // pc,
                                    seed=cfg.train.seed,
                                    shuffle_buffer=cfg.data.shuffle_buffer,
-                                   skip_batches=skip_batches),
+                                   skip_batches=skip_batches,
+                                   cache_videos=cfg.data.cache_videos),
             depth=cfg.data.prefetch)
     # eval-during-training is the DEFAULT (best-checkpoint tracking + early
     # stopping depend on it, reference C8); --no-eval opts out

@@ -74,7 +74,8 @@ def main(argv=None) -> int:
     def feed():
         return Prefetcher(
             example_stream(ds, seq, B, seed=0,
-                           shuffle_buffer=cfg.data.shuffle_buffer),
+                           shuffle_buffer=cfg.data.shuffle_buffer,
+                           cache_videos=cfg.data.cache_videos),
             depth=cfg.data.prefetch)
 
     keys = ("video", "wav", "labels", "mask") if cfg.model.use_video \
@@ -103,18 +104,29 @@ def main(argv=None) -> int:
     # (on a 1-core VM behind a remote-tunnel PJRT, these two dominate; the
     # split shows WHERE the e2e gap lives so the tunnel doesn't read as a
     # framework regression)
+    #
+    # Methodology notes (both found the hard way, round 4):
+    # - the host phase must DISCARD batches like the train loop does —
+    #   retaining them in a list defeats numpy's arena reuse, so every
+    #   batch pays first-touch page faults on ~19 MB of fresh pages
+    #   (measured 115 ms/batch retained vs 8.7 ms discarded on the 1-core
+    #   VM: a 13x measurement artifact, not pipeline cost);
+    # - the H2D phase is a per-batch SYNCHRONOUS upper bound: the e2e loop
+    #   overlaps transfers with device compute (async dispatch), so
+    #   e2e_step_ms < h2d_ms_per_batch is expected, not a contradiction.
     stream2 = feed()
     for _ in range(3):
         next(stream2)                   # warm the decode/window caches
     t0 = time.perf_counter()
-    host_batches = [next(stream2) for _ in range(args.steps)]
+    for _ in range(args.steps):
+        next(stream2)
     dt_host = time.perf_counter() - t0
+    b = next(stream2)                   # one batch, re-sent each iteration
     t0 = time.perf_counter()
-    for b in host_batches:
+    for _ in range(args.steps):
         sharded = shard_batch(tr.mesh, {k: b[k] for k in keys})
         jax.block_until_ready(sharded)
     dt_h2d = time.perf_counter() - t0
-    del host_batches
 
     # ---- same config, fixed device-resident batch (bench.py's method) ----
     fixed = shard_batch(tr.mesh, {k: batch[k] for k in keys})

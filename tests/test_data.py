@@ -52,6 +52,21 @@ def test_synthetic_uint8_path_matches_float_reference():
         np.testing.assert_array_equal(ds.load_video(vid)["frames"], ref)
 
 
+def test_synthetic_memo_cache_exact_and_isolated():
+    """The memo cache returns arrays equal to fresh generation, and a caller
+    adding keys to the returned dict must not corrupt the cached entry."""
+    cached = SyntheticAVDataset(DATA, MEL)
+    fresh = SyntheticAVDataset(DATA, MEL, cache=False)
+    vid = cached.video_ids()[0]
+    v1 = cached.load_video(vid)
+    v1["fps"] = 25.0  # what Predictor-style callers do to THEIR dict
+    v2 = cached.load_video(vid)
+    assert "fps" not in v2
+    vf = fresh.load_video(vid)
+    for k in vf:
+        np.testing.assert_array_equal(v2[k], vf[k])
+
+
 def test_window_sequencer_shapes_per_frame():
     """Default (per_frame=True): per-frame labels [W, L, 2] + mask [W, L]."""
     ds = SyntheticAVDataset(DATA, MEL)

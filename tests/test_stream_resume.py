@@ -92,6 +92,47 @@ def test_skip_does_not_decode(monkeypatch):
     assert len(loads) <= 2, f"skip decoded videos it should not: {loads}"
 
 
+@pytest.mark.parametrize("shuffle_buffer", [0, 7])
+def test_cache_videos_identical_batches(monkeypatch, shuffle_buffer):
+    """cache_videos is a pure host-memory/CPU trade: raising it must leave
+    the emitted batches identical and cut decodes to once per video."""
+    ds, seq = _ds_seq(num_videos=3, frames=96)
+    ds._cache = None  # count REAL generation, not the synthetic memo
+    loads = []
+    orig = SyntheticAVDataset.load_video
+
+    def counting(self, vid):
+        loads.append(vid)
+        return orig(self, vid)
+
+    monkeypatch.setattr(SyntheticAVDataset, "load_video", counting)
+    n = 3 * len(list(example_stream(ds, seq, 2, seed=4, loop=False)))  # 3 epochs
+    base = list(itertools.islice(
+        example_stream(ds, seq, 2, seed=4, loop=True,
+                       shuffle_buffer=shuffle_buffer), n))
+    loads.clear()
+    cached = list(itertools.islice(
+        example_stream(ds, seq, 2, seed=4, loop=True,
+                       shuffle_buffer=shuffle_buffer, cache_videos=3), n))
+    _assert_batches_equal(cached, base)
+    # every video decoded exactly once for the whole multi-epoch run
+    assert sorted(loads) == sorted(ds.video_ids()), loads
+
+
+def test_cache_videos_skip_resume():
+    """Exact-resume contract holds with a multi-video cache."""
+    ds, seq = _ds_seq(num_videos=3, frames=96)
+    n_epoch = len(list(example_stream(ds, seq, 2, seed=5, loop=False)))
+    skip = n_epoch + 1
+    full = list(itertools.islice(
+        example_stream(ds, seq, 2, seed=5, loop=True, shuffle_buffer=5,
+                       cache_videos=3), skip + 4))
+    skipped = list(itertools.islice(
+        example_stream(ds, seq, 2, seed=5, loop=True, shuffle_buffer=5,
+                       cache_videos=3, skip_batches=skip), 4))
+    _assert_batches_equal(skipped, full[skip:])
+
+
 def test_num_frames_matches_load(tmp_path):
     ds, _ = _ds_seq()
     for vid in ds.video_ids():
@@ -243,6 +284,9 @@ def test_steady_state_holds_one_decoded_video(monkeypatch):
     import weakref
 
     ds, seq = _ds_seq(num_videos=4, frames=120)
+    # the subject is the STREAM's cache discipline — the synthetic dataset's
+    # own memo (which intentionally keeps its tiny videos alive) is off
+    ds._cache = None
     refs = []
     orig = SyntheticAVDataset.load_video
 
