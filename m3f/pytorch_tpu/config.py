@@ -25,6 +25,10 @@ from typing import Any, Tuple
 # Label value used by Aff-Wild2 annotations for invalid / non-annotated frames.
 INVALID_LABEL = -5.0  # UNVERIFIED vs reference (paper convention: labels in [-1,1], -5 = invalid)
 
+# Plausible-frame-rate band shared by the dataset's fps derivation and the
+# serving-side request validator (one definition so they cannot drift).
+FPS_BAND = (5.0, 120.0)
+
 
 @dataclass(frozen=True)
 class MelConfig:
@@ -196,6 +200,17 @@ class DataConfig:
     # (safe anywhere); RAM-rich hosts raise it to keep decoded videos
     # across epochs. Host-memory/CPU trade only — batches are identical.
     cache_videos: int = 1
+    # When per-video fps falls back to annotation-rows/wav-duration (no
+    # container to probe), a wav may outlast the video by up to this many
+    # seconds of trailing audio (AAC decoder padding adds tens of ms to
+    # every ffmpeg-extracted wav; an audio stream running past the last
+    # frame adds more) WITHOUT reading as an off-rate video: the derivation
+    # resolves the duration against canonical rates under this tail
+    # allowance (AffWild2Dataset._resolve_wav_fps). The default covers the
+    # routine ffmpeg/AAC tail (~50 ms) with 3x margin; genuinely off-rate
+    # videos (25 vs 30; NTSC 29.97 past ~2.5 min) mismatch by more and
+    # keep their own clock. Set ~0.03 if your wavs are sample-exact.
+    fps_tail_tolerance_s: float = 0.15
     # On-device train-time augmentation (ops/augment.py) — runs inside the
     # jitted step on the uint8 batch (zero extra host work / H2D bytes).
     # UNVERIFIED vs reference; standard for the task, off by default.

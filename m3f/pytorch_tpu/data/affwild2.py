@@ -31,7 +31,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from m3f.pytorch_tpu.config import INVALID_LABEL, DataConfig, MelConfig
+from m3f.pytorch_tpu.config import (FPS_BAND, INVALID_LABEL, DataConfig,
+                                    MelConfig)
 
 
 def read_wav_16k_mono(path: str,
@@ -164,7 +165,8 @@ class AffWild2Dataset:
     # extra decode work: container metadata when videos/ exists, else
     # annotation rows / wav duration (both files are already read).
 
-    FPS_BAND = (5.0, 120.0)   # outside this, the derivation is garbage
+    FPS_BAND = FPS_BAND   # re-exported (definition lives in config.py so
+                          # the serving validator shares it)
 
     def video_fps(self, video_id: str,
                   n_frames: Optional[int] = None) -> float:
@@ -173,6 +175,31 @@ class AffWild2Dataset:
         Priority: container probe (cv2, header only) → annotation-rows /
         wav-duration (wav HEADER only, no sample read) → ``cfg.fps``.
         Estimates outside FPS_BAND fall through to the next source.
+
+        Each source gets its own snap-to-``cfg.fps`` rule, because their
+        error models differ:
+
+        - **container**: authoritative up to float fuzz — snap only when the
+          end-of-video drift is under half a mel hop (then no window's
+          sample offset can shift by even one hop and the video stays on
+          the canonical warmup-compiled shape buckets); genuine 29.97 NTSC
+          stays distinct wherever its ~0.1% skew accumulates past a hop.
+        - **wav duration**: an ESTIMATE biased by however much the audio
+          stream outlasts the video (AAC decoder padding alone adds tens of
+          ms to every ffmpeg-extracted wav; a source whose audio runs past
+          the last frame adds more). Without correction, EVERY true-30fps
+          video with a real ffmpeg wav derived 29.9x and silently stretched
+          its audio alignment (round-4 review finding). The tail error is a
+          CONSTANT number of seconds while genuine rate skew grows linearly
+          with video length, so the estimate is resolved against CANONICAL
+          frame rates: each candidate rate r implies an audio tail
+          ``wav_dur − n/r``; rates whose implied tail is plausible
+          (−50 ms … ``cfg.fps_tail_tolerance_s``) compete, and the one
+          explaining the duration with the SMALLEST tail wins. A rate no
+          canonical explains (true oddball capture) keeps the raw derived
+          value. Videos long enough separate 29.97 from 30 by more than a
+          tail; short ones collapse into the hop-drift snap below, where
+          the distinction is inaudible anyway.
         """
         cached = getattr(self, "_fps_cache", None)
         if cached is None:
@@ -180,6 +207,7 @@ class AffWild2Dataset:
         if video_id in cached:
             return cached[video_id]
         fps = 0.0
+        from_container = False
         for ext in (".mp4", ".avi", ".mkv"):
             vp = os.path.join(self.cfg.root, "videos", video_id + ext)
             if os.path.exists(vp):
@@ -191,8 +219,9 @@ class AffWild2Dataset:
                     cap.release()
                 except Exception:
                     fps = 0.0
+                from_container = self.FPS_BAND[0] <= fps <= self.FPS_BAND[1]
                 break
-        if not self.FPS_BAND[0] <= fps <= self.FPS_BAND[1]:
+        if not from_container:
             fps = 0.0
             wav_path = os.path.join(self.cfg.root, "audio", video_id + ".wav")
             if os.path.exists(wav_path):
@@ -208,20 +237,58 @@ class AffWild2Dataset:
         if not self.FPS_BAND[0] <= fps <= self.FPS_BAND[1]:
             fps = float(self.cfg.fps)
         elif fps != self.cfg.fps:
-            # Snap to the configured rate when the END-OF-VIDEO drift is
-            # under half a mel hop — then no window's sample offset can
-            # shift by even one hop, and the video stays on the canonical
-            # (warmup-compiled) shape buckets. A wav rounded to whole
-            # samples makes every true-30fps video derive 30.000x; snapping
-            # by this drift criterion (not a blanket rel-tol) keeps 29.97
-            # NTSC distinct on long videos, where its ~0.1% skew really
-            # does accumulate past a hop.
             n = self.num_frames(video_id) if n_frames is None else n_frames
-            drift = abs(n / fps - n / self.cfg.fps) * self.mel.sample_rate
-            if drift < self.mel.hop_length / 2:
-                fps = float(self.cfg.fps)
+            if not from_container:
+                fps = self._resolve_wav_fps(fps, n)
+            if fps != self.cfg.fps:
+                # bucket-stability snap (both sources): when the
+                # end-of-video drift is under half a mel hop, no window's
+                # sample offset can shift by even one hop — keep the video
+                # on the canonical warmup-compiled shape buckets
+                drift = abs(n / fps - n / self.cfg.fps) * self.mel.sample_rate
+                if drift < self.mel.hop_length / 2:
+                    fps = float(self.cfg.fps)
         cached[video_id] = fps
         return fps
+
+    # canonical capture rates the wav-duration estimate is resolved against
+    # (film/NTSC/PAL families + common webcam/screen rates); cfg.fps is
+    # always added as a candidate
+    CANONICAL_FPS = (12.0, 15.0, 24000.0 / 1001.0, 24.0, 25.0,
+                     30000.0 / 1001.0, 30.0, 48.0, 50.0,
+                     60000.0 / 1001.0, 60.0, 90.0, 120.0)
+    WAV_TAIL_NEG_SLACK_S = 0.05   # wav may be marginally SHORTER (truncation)
+
+    def _resolve_wav_fps(self, raw_fps: float, n: int) -> float:
+        """Resolve a wav-duration-derived fps against canonical rates.
+
+        ``raw_fps = n / wav_dur`` is biased low by any trailing audio. Each
+        candidate rate r implies a tail ``wav_dur − n/r``, plausible when in
+        −WAV_TAIL_NEG_SLACK_S … cfg.fps_tail_tolerance_s. Decision order:
+
+        1. the CONFIGURED rate wins whenever its implied tail is plausible
+           (it is the corpus's dominant rate; deviating needs the tail
+           explanation to fail). This deliberately absorbs e.g. a genuine
+           29.97 video shorter than ~tol/(1/29.97−1/30) ≈ 2.5 min into the
+           30 fps clock — in that ambiguous zone "30 + ordinary ffmpeg
+           tail" and "29.97 + exact wav" explain the same duration, the
+           misalignment either way is bounded by the tolerance, and the
+           common case (every real extracted wav carries a tail) must not
+           silently stretch every true-30fps video (round-4 review);
+        2. else the canonical rate with the smallest plausible |tail|;
+        3. else (true oddball capture) the raw estimate stands.
+        """
+        dur = n / raw_fps
+        lo, tol = -self.WAV_TAIL_NEG_SLACK_S, self.cfg.fps_tail_tolerance_s
+        if lo <= dur - n / self.cfg.fps <= tol:
+            return float(self.cfg.fps)
+        best, best_tail = None, None
+        for r in self.CANONICAL_FPS:
+            tail = dur - n / r
+            if lo <= tail <= tol and (best is None or
+                                      abs(tail) < abs(best_tail)):
+                best, best_tail = float(r), tail
+        return raw_fps if best is None else best
 
     def load_video(self, video_id: str) -> Dict[str, np.ndarray]:
         """Same schema as SyntheticAVDataset.load_video, plus ``fps``

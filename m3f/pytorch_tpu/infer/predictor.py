@@ -43,14 +43,17 @@ def _check_frames(frames: np.ndarray, image_size: int) -> np.ndarray:
 
 
 def _check_fps(fps) -> Optional[float]:
+    from m3f.pytorch_tpu.config import FPS_BAND  # one definition, shared
+    # with the dataset-side derivation (AffWild2Dataset.video_fps)
     if fps is None:
         return None
     try:
         fps = float(fps)
     except (TypeError, ValueError):
         raise ValueError(f"fps must be a number, got {fps!r}") from None
-    if not 5.0 <= fps <= 120.0:
-        raise ValueError(f"fps {fps} outside the plausible band [5, 120]")
+    if not FPS_BAND[0] <= fps <= FPS_BAND[1]:
+        raise ValueError(f"fps {fps} outside the plausible band "
+                         f"[{FPS_BAND[0]:g}, {FPS_BAND[1]:g}]")
     return fps
 
 
@@ -576,8 +579,12 @@ class SessionGroup:
             return                      # stream() would refuse to open
         probe = self.p.stream()         # geometry only; never pushed
         W, L, S, spw = probe.W, probe.L, probe.S, probe.spw
-        b = 1
-        while b <= self.max_batch:
+        # through _bucket(max_batch), not max_batch: push_many pads a chunk
+        # of k sessions to the NEXT power of two, so with a non-power-of-two
+        # max_batch (say 12) the live path uses the [16, W, ...] graph the
+        # old `while b <= max_batch` loop never warmed (round-4 review)
+        b, top = 1, self._bucket(self.max_batch)
+        while b <= top:
             feed = {}
             if cfg.model.use_video:
                 feed["video"] = np.zeros((b, W, L, S, S, 3), np.uint8)

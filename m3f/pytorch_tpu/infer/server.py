@@ -60,6 +60,12 @@ from typing import Optional
 import numpy as np
 
 
+class _StreamStuckError(RuntimeError):
+    """A push's batch never completed within 2x the timeout: whether the
+    chunk was applied is unknowable, so the session is closed (500) instead
+    of risking a silent double-append on a client retry."""
+
+
 class _Stats:
     """Serving counters (VERDICT r3 weak #4: "serving has zero
     observability"). Thread-safe; snapshot served on GET /statz. Latency is
@@ -249,7 +255,7 @@ class PredictServer:
                         else:
                             self._fail(404, f"unknown stream {sid}")
                         return True
-                    outer._touched[sid] = time.monotonic()
+                    outer._touch(sid)
                     if parts[2] == "push":
                         data = self._read_npz()
                         if data is None:
@@ -262,11 +268,15 @@ class PredictServer:
                         except TimeoutError as e:
                             self._fail(503, str(e))
                             return True
+                        except _StreamStuckError as e:
+                            outer._drop_stream(sid)
+                            self._fail(500, str(e))
+                            return True
                         except Exception as e:  # noqa: BLE001 — surface as
                             # a JSON 500, never a dropped connection
                             self._fail(500, f"{type(e).__name__}: {e}")
                             return True
-                        outer._touched[sid] = time.monotonic()
+                        outer._touch(sid)
                     else:
                         try:
                             with outer._lock:
@@ -312,7 +322,14 @@ class PredictServer:
                 except Exception as e:  # noqa: BLE001 — client error, report
                     return self._fail(400, f"body is not a readable npz: {e}")
                 q = parse_qs(url.query)
-                smooth = int(q.get("smooth", ["0"])[0])
+                try:
+                    smooth = int(q.get("smooth", ["0"])[0])
+                except ValueError:
+                    # client error → JSON 400, never an uncaught exception
+                    # that drops the connection (round-4 review: this parse
+                    # sat outside the try block below)
+                    return self._fail(400, "smooth must be an integer, got "
+                                      f"{q['smooth'][0]!r}")
                 fps = q.get("fps", [None])[0]       # video's true rate
                 try:
                     with outer._lock:
@@ -337,9 +354,27 @@ class PredictServer:
 
     # -- stream lifecycle ---------------------------------------------------
 
-    def _drop_stream(self, sid: str) -> None:
+    def _drop_stream_locked(self, sid: str) -> None:
         self._streams.pop(sid, None)
         self._touched.pop(sid, None)
+
+    def _drop_stream(self, sid: str) -> None:
+        with self._pending_lock:
+            self._drop_stream_locked(sid)
+
+    def _touch(self, sid: str) -> None:
+        """Refresh a stream's idle clock — only while it still exists.
+
+        An unconditional ``_touched[sid] = now`` races _drop_stream (flush
+        or TTL eviction landing between the route's existence check and the
+        touch): it would recreate an orphan entry that a later eviction
+        sweep counts and 410-labels as "evicted after idle" even though the
+        stream was flushed (round-4 review). Guarded under _pending_lock,
+        the same lock every eviction/drop path holds.
+        """
+        with self._pending_lock:
+            if sid in self._streams:
+                self._touched[sid] = time.monotonic()
 
     def _evict_idle_locked(self) -> None:
         """Evict streams idle past the TTL (call with _pending_lock held)."""
@@ -352,7 +387,7 @@ class PredictServer:
         stale = [sid for sid, t in list(self._touched.items())
                  if now - t > self.stream_ttl_s]
         for sid in stale:
-            self._drop_stream(sid)
+            self._drop_stream_locked(sid)
             self._evicted.append(sid)
         if stale:
             self.stats.record_evicted(len(stale))
@@ -414,9 +449,31 @@ class PredictServer:
                 # self-elect when they find an empty queue)
                 leader = bool(self._pending)
         if not ev.wait(timeout=self.push_timeout_s):
-            raise TimeoutError(
-                f"stream push timed out after {self.push_timeout_s}s "
-                "behind the batcher")
+            # Timing out must not leave the item queued: the leader would
+            # still apply it later — appending the data and advancing the
+            # emission grid with nobody to receive those predictions, so a
+            # client retry (503 is retryable) would append the chunk TWICE
+            # and silently desync the stream forever (round-4 review).
+            with self._pending_lock:
+                still_queued = any(item[2] is ev for item in self._pending)
+                if still_queued:
+                    self._pending = [item for item in self._pending
+                                     if item[2] is not ev]
+            if still_queued:
+                # safely cancelled — never touched the session; retryable
+                raise TimeoutError(
+                    f"stream push timed out after {self.push_timeout_s}s "
+                    "behind the batcher (not applied; safe to retry)")
+            # the leader already took it: the result (or error) is coming —
+            # give the in-flight batch one more full window
+            if not ev.wait(timeout=self.push_timeout_s):
+                # mid-batch and still nothing: whether the chunk was applied
+                # is unknowable here, so the session must die rather than
+                # risk a double-append on retry (handler drops it → 500)
+                raise _StreamStuckError(
+                    f"stream push still in flight after "
+                    f"{2 * self.push_timeout_s}s; closing the stream — "
+                    "its window alignment can no longer be trusted")
         if "err" in slot:
             raise slot["err"]
         return slot["out"]

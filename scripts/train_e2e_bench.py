@@ -37,6 +37,10 @@ def main(argv=None) -> int:
                     help="global batch (0 = bench.py's 8/chip on TPU)")
     ap.add_argument("--preset", default="fusion")
     args = ap.parse_args(argv)
+    # at least one warmup step binds the compile + the first batch, and the
+    # throughput math divides by steps
+    args.warmup = max(1, args.warmup)
+    args.steps = max(1, args.steps)
 
     from m3f.pytorch_tpu.cache import enable_persistent_cache
     enable_persistent_cache()

@@ -371,3 +371,40 @@ def test_video_fps_snap_band_is_drift_based(tmp_path):
     assert long_fps != FPS and abs(long_fps - ntsc) < 0.01
     drift = abs(5400 / long_fps - 5400 / FPS) * SR
     assert drift > hop_half               # the reason it must not snap
+
+
+def test_video_fps_wav_tail_does_not_fake_an_off_rate_video(tmp_path):
+    """Round-4 review: real ffmpeg-extracted wavs OUTLAST the video (AAC
+    decoder padding ~50 ms; audio streams running past the last frame add
+    more). The wav-duration fps fallback must read "30 fps + audio tail",
+    not invent a slightly-off rate that silently stretches every window's
+    audio offset. Genuine off-rate videos and true oddball rates are
+    unaffected."""
+    root = str(tmp_path / "abaw")
+    make_fake_abaw(root, {"video_a": 40})
+    cfg = tiny_cfg(root)
+
+    def add_video(vid, n, wav_seconds):
+        ann = os.path.join(root, "annotations", "VA_Estimation_Challenge",
+                           "Train_Set", vid + ".txt")
+        with open(ann, "w") as f:
+            f.write("valence,arousal\n" + "0.1,0.2\n" * n)
+        os.makedirs(os.path.join(root, "cropped_aligned", vid), exist_ok=True)
+        _write_wav(os.path.join(root, "audio", vid + ".wav"),
+                   np.zeros(int(round(wav_seconds * SR)), np.float32))
+
+    # 150 frames of true 30 fps (5 s) + 0.12 s trailing audio: the raw
+    # estimate is 150/5.12 = 29.30 — before the fix this escaped the
+    # hop-drift snap band (drift = 0.12 s * 16000 = 1920 samples >> 266)
+    # and the whole pipeline ran the video at a fabricated 29.3 fps
+    add_video("tail_30", 150, 150 / FPS + 0.12)
+    # genuine 25 fps video with the SAME 0.12 s tail: still reads 25
+    add_video("tail_25", 150, 150 / 25.0 + 0.12)
+    # true oddball capture rate (13.7 fps, exact wav): no canonical rate
+    # explains it within the tail allowance — the raw estimate stands
+    add_video("oddball", 150, 150 / 13.7)
+
+    ds = AffWild2Dataset(cfg.data, cfg.model.mel, split="train")
+    assert ds.video_fps("tail_30") == FPS
+    assert ds.video_fps("tail_25") == 25.0
+    assert abs(ds.video_fps("oddball") - 13.7) < 0.01

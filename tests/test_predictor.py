@@ -297,6 +297,31 @@ def test_warmup_with_eval_smooth_and_chunked(tmp_path):
     assert p.trainer._video_eval_chunk_fns, "chunked eval was never warmed"
 
 
+def test_session_group_warmup_covers_top_bucket():
+    """max_batch need not be a power of two: push_many pads a chunk of k
+    sessions up to _bucket(k), so warmup must compile through
+    _bucket(max_batch) — with max_batch=12 the old loop stopped at 8 and
+    left the live [16, W, ...] bucket to compile inside the serving path
+    (round-4 review)."""
+    from m3f.pytorch_tpu.config import apply_overrides
+    from m3f.pytorch_tpu.infer.predictor import SessionGroup
+
+    cfg = apply_overrides(_f32(tiny_cfg(use_video=False)),
+                          {"train.mesh.num_data": 1})
+    p = Predictor(cfg=cfg)
+    group = SessionGroup(p, max_batch=3)
+    sizes = []
+    orig = group._fwd
+
+    def recording(params, bn, feed):
+        sizes.append(next(iter(feed.values())).shape[0])
+        return orig(params, bn, feed)
+
+    group._fwd = recording
+    group.warmup()
+    assert sizes == [1, 2, 4]   # through _bucket(3) = 4, not stopping at 2
+
+
 def test_session_group_matches_offline_and_inline():
     """Batched multi-session serving (VERDICT r2 weak #7): concurrent
     sessions pushed through SessionGroup's [k, W, ...] forward must

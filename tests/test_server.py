@@ -226,6 +226,148 @@ def test_stream_ttl_eviction_reclaims_slots(server):
         srv.shutdown()
 
 
+def test_smooth_param_bad_value_is_400(server):
+    """?smooth=abc must be a JSON 400, not an uncaught ValueError that
+    drops the connection (round-4 review: the parse sat outside the
+    error-mapping try block)."""
+    _, base = server
+    buf = io.BytesIO()
+    np.savez(buf, waveform=np.zeros(8000, np.float32))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict?smooth=abc", buf.getvalue())
+    assert e.value.code == 400
+    assert "smooth" in json.load(e.value)["error"]
+
+
+def test_touch_does_not_resurrect_dropped_stream(server):
+    """Round-4 review: the post-push re-touch raced flush/eviction and
+    could recreate an orphan _touched entry for a dead sid — later counted
+    and 410-labeled as "evicted after idle" even though the stream was
+    flushed. _touch only refreshes sessions that still exist."""
+    p, _ = server
+    srv = PredictServer(p, port=0)
+    try:
+        sess = srv._group.open()
+        srv._streams["sX"] = sess
+        srv._touch("sX")
+        assert "sX" in srv._touched
+        srv._drop_stream("sX")          # what flush does
+        srv._touch("sX")                # the racing re-touch
+        assert "sX" not in srv._touched   # no orphan to mis-evict later
+        assert "sX" not in srv._streams
+    finally:
+        srv._httpd.server_close()
+
+
+def _stalled_server(p, push_timeout_s):
+    """PredictServer whose micro-batcher stalls inside push_many until
+    `release` is set; batch window stretched so a second push lands while
+    the first is still queued (deterministic follower)."""
+    import threading
+
+    srv = PredictServer(p, port=0, push_timeout_s=push_timeout_s)
+    srv.batch_window_s = 0.4
+    release, entered = threading.Event(), threading.Event()
+    orig = srv._group.push_many
+
+    def stalled(pushes, errors=None):
+        entered.set()
+        release.wait(15)
+        return orig(pushes, errors=errors)
+
+    srv._group.push_many = stalled
+    return srv, release, entered
+
+
+def test_push_timeout_cancels_queued_item(server):
+    """Round-4 review: a push that 503s on timeout must NOT leave its item
+    queued — the leader would still apply it later (predictions dropped
+    with no receiver) and a client retry would append the chunk twice,
+    silently desyncing the stream. A timed-out-while-queued push is
+    REMOVED (never applied), so the retry reproduces the offline result
+    exactly."""
+    import threading
+    import time as _time
+
+    p, _ = server
+    wav = _wav(30, p.cfg, seed=77)
+    chunk1, chunk2 = wav[:9000], wav[9000:]
+    want = p.predict_video(waveform=wav)["pred"]
+
+    srv, release, entered = _stalled_server(p, push_timeout_s=0.6)
+    try:
+        sess = srv._group.open()
+        res, errs = {}, {}
+
+        def push(key, chunk):
+            try:
+                res[key] = srv._stream_push(sess, {"waveform": chunk})
+            except Exception as e:  # noqa: BLE001
+                errs[key] = e
+
+        ta = threading.Thread(target=push, args=("a", chunk1))
+        ta.start()                       # leader; sleeps 0.4 s, then stalls
+        _time.sleep(0.1)
+        tb = threading.Thread(target=push, args=("b", chunk2))
+        tb.start()                       # same session -> deferred follower
+        tb.join(timeout=10)
+        # B timed out while still queued: cancelled, clean TimeoutError
+        assert isinstance(errs.get("b"), TimeoutError), (res, errs)
+        assert "retry" in str(errs["b"])
+        with srv._pending_lock:
+            assert not srv._pending      # the cancelled item is GONE
+        release.set()                    # leader completes with chunk1 only
+        ta.join(timeout=10)
+        assert "a" in res, errs
+        # the retry works and the stream is byte-consistent with offline
+        got = [res["a"][1], srv._stream_push(sess, {"waveform": chunk2})[1],
+               sess.flush()[1]]
+        pred = np.concatenate([np.asarray(g, np.float32).reshape(-1, 2)
+                               for g in got])
+        np.testing.assert_allclose(pred, want, rtol=1e-4, atol=1e-5)
+    finally:
+        release.set()
+        srv._httpd.server_close()
+
+
+def test_push_stuck_mid_batch_kills_session_not_alignment(server):
+    """If the leader TOOK the item and never finishes (2x the timeout),
+    whether the chunk was applied is unknowable — the push must fail with
+    the session-killing error (handler: drop + 500), never a retryable
+    503 that invites a double-append."""
+    import threading
+    import time as _time
+
+    from m3f.pytorch_tpu.infer.server import _StreamStuckError
+
+    p, _ = server
+    srv, release, entered = _stalled_server(p, push_timeout_s=0.4)
+    try:
+        s1, s2 = srv._group.open(), srv._group.open()
+        errs = {}
+
+        def push(key, sess):
+            try:
+                srv._stream_push(sess, {"waveform": np.zeros(9000,
+                                                             np.float32)})
+            except Exception as e:  # noqa: BLE001
+                errs[key] = e
+
+        ta = threading.Thread(target=push, args=("a", s1))
+        ta.start()
+        _time.sleep(0.1)
+        tb = threading.Thread(target=push, args=("b", s2))
+        tb.start()                       # different session -> same batch
+        tb.join(timeout=10)
+        assert isinstance(errs.get("b"), _StreamStuckError), errs
+        release.set()
+        ta.join(timeout=10)
+        assert "a" not in errs           # the leader's own push succeeded
+    finally:
+        release.set()
+        srv._httpd.server_close()
+
+
 # -- video (fusion) model over HTTP (VERDICT r3 weak #7) ---------------------
 
 @pytest.fixture(scope="module")
