@@ -231,6 +231,21 @@ class OptimConfig:
     step_decay_factor: float = 0.1   # "step": lr ×= factor at each boundary
     step_decay_every: int = 0        # "step": boundary spacing (0 → num_steps/3)
     accumulate_steps: int = 1     # optax.MultiSteps (SURVEY §2.3)
+    # Fine-tuning controls for pretrained-backbone runs (the reference loads
+    # IG-65M/Kinetics backbones at model __init__, SURVEY §3.5; torch users
+    # freeze or down-weight them via param groups — this is the pytree
+    # equivalent, addressed by checkpoint-path prefixes like "visual" or
+    # "visual/stem"; see train/checkpoint.py path convention).
+    #   freeze:   comma-separated path prefixes whose params receive exactly
+    #             zero updates (weight decay included); params stay bitwise
+    #             at their init/pretrained values.
+    #   lr_scale: comma-separated "prefix=factor" pairs; the final optimizer
+    #             update for matching params is multiplied by factor — for
+    #             adam/adamw/sgd this is exactly a per-group learning rate
+    #             (moments are lr-independent). Prefixes must not overlap.
+    # Unknown prefixes (matching no param) fail loudly at trainer init.
+    freeze: str = ""
+    lr_scale: str = ""
 
 
 @dataclass(frozen=True)
@@ -332,10 +347,19 @@ class ExperimentConfig:
         window = dataclasses.asdict(self.window)
         window.pop("eval_smooth", None)  # postprocess-only, no trainable state
         window.pop("eval_max_windows", None)  # dispatch-size backend knob
+        optim = dataclasses.asdict(self.train.optim)
+        # conditional like ema_decay below: hashes of configs that don't use
+        # fine-tuning controls stay byte-identical to pre-feature checkpoints
+        # (freeze/lr_scale also change the opt_state pytree layout, so when
+        # SET they must — and do — change the hash)
+        if not optim["freeze"]:
+            optim.pop("freeze")
+        if not optim["lr_scale"]:
+            optim.pop("lr_scale")
         semantic = {
             "model": model,
             "window": window,
-            "optim": dataclasses.asdict(self.train.optim),
+            "optim": optim,
             "loss": self.train.loss,
             # input semantics: resolution and the audio/frame alignment rate
             "image_size": self.data.image_size,

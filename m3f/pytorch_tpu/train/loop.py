@@ -77,6 +77,59 @@ class BestTracker:
         return False, self.patience > 0 and self.bad_evals >= self.patience
 
 
+def _prefix_mask(prefixes: Tuple[str, ...]):
+    """Callable bool-pytree mask over params: True iff the leaf's
+    '/'-joined checkpoint path (train/checkpoint.py convention) equals or
+    is nested under one of ``prefixes``.
+
+    Returned as a callable so ``optax.masked`` evaluates it lazily against
+    the real param tree at ``tx.init(params)`` — which is also where a
+    prefix that matches nothing fails loudly (catches "vizual" typos
+    before a run silently fine-tunes the wrong subtree).
+    """
+    def mask(params):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        keys = ["/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                         for p in path) for path, _ in flat]
+        hits = {p: 0 for p in prefixes}
+        out = []
+        for key in keys:
+            m = False
+            for p in prefixes:
+                if key == p or key.startswith(p + "/"):
+                    m = True
+                    hits[p] += 1
+            out.append(m)
+        missing = sorted(p for p, c in hits.items() if c == 0)
+        if missing:
+            tops = sorted({k.split("/")[0] for k in keys})
+            raise ValueError(
+                f"optim.freeze/lr_scale prefix(es) {missing} match no "
+                f"parameter; top-level param groups are {tops}")
+        return jax.tree_util.tree_unflatten(treedef, out)
+    return mask
+
+
+def _parse_lr_scales(spec: str) -> Tuple[Tuple[str, float], ...]:
+    """Parse "visual=0.1,head=2.0"; reject overlapping prefixes (two scales
+    on one param would compose multiplicatively — ambiguous, so loud)."""
+    pairs = []
+    for item in (s for s in spec.split(",") if s.strip()):
+        prefix, sep, factor = item.partition("=")
+        if not sep:
+            raise ValueError(
+                f"optim.lr_scale entry {item!r} is not 'prefix=factor'")
+        pairs.append((prefix.strip(), float(factor)))
+    names = [p for p, _ in pairs]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if a == b or a.startswith(b + "/") or b.startswith(a + "/"):
+                raise ValueError(
+                    f"optim.lr_scale prefixes {a!r} and {b!r} overlap — "
+                    "a param under both would be scaled twice")
+    return tuple(pairs)
+
+
 def make_optimizer(cfg: OptimConfig,
                    num_steps: int = 100_000) -> optax.GradientTransformation:
     if cfg.schedule == "cosine":
@@ -105,7 +158,20 @@ def make_optimizer(cfg: OptimConfig,
         opt = optax.sgd(lr, momentum=0.9)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer}")
-    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+    chain = [optax.clip_by_global_norm(cfg.grad_clip_norm), opt]
+    # Fine-tuning controls (OptimConfig docstring): applied AFTER the inner
+    # optimizer so they act on the final update. For adam/adamw/sgd the
+    # update is lr-linear (moments/momentum are lr-independent), so a
+    # post-scale by f is exactly a per-group learning rate of lr*f; the
+    # freeze mask zeroes everything including adamw's decay term, keeping
+    # frozen params bitwise at init.
+    for prefix, factor in _parse_lr_scales(cfg.lr_scale):
+        chain.append(optax.masked(optax.scale(factor),
+                                  _prefix_mask((prefix,))))
+    freeze = tuple(s.strip() for s in cfg.freeze.split(",") if s.strip())
+    if freeze:
+        chain.append(optax.masked(optax.set_to_zero(), _prefix_mask(freeze)))
+    tx = optax.chain(*chain)
     if cfg.accumulate_steps > 1:
         tx = optax.MultiSteps(tx, cfg.accumulate_steps)  # SURVEY §2.3 grad accumulation
     return tx
