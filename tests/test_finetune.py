@@ -27,7 +27,7 @@ from m3f.pytorch_tpu.parallel.mesh import shard_batch
 from m3f.pytorch_tpu.train.loop import Trainer
 
 
-def make_cfg(**optim_kw) -> ExperimentConfig:
+def make_cfg(num_data=1, **optim_kw) -> ExperimentConfig:
     return ExperimentConfig(
         name="finetune",
         model=ModelConfig(
@@ -36,7 +36,7 @@ def make_cfg(**optim_kw) -> ExperimentConfig:
             gru=GRUConfig(hidden_size=8),
         ),
         window=WindowConfig(windows_per_clip=2),
-        train=TrainConfig(batch_size=2, mesh=MeshConfig(num_data=1),
+        train=TrainConfig(batch_size=4, mesh=MeshConfig(num_data=num_data),
                           optim=OptimConfig(**{"learning_rate": 1e-2,
                                                **optim_kw})),
     )
@@ -44,14 +44,15 @@ def make_cfg(**optim_kw) -> ExperimentConfig:
 
 def make_batch(cfg, seed=0):
     rng = np.random.RandomState(seed)
+    B = cfg.train.batch_size
     W = cfg.window.windows_per_clip
     L = cfg.model.frames_per_window
     spw = samples_per_window(cfg.model.mel,
                              cfg.model.audio.mel_frames_per_window)
     return {
-        "wav": rng.randn(2, W, spw).astype(np.float32),
-        "labels": rng.uniform(-1, 1, (2, W, L, 2)).astype(np.float32),
-        "mask": np.ones((2, W, L), dtype=bool),
+        "wav": rng.randn(B, W, spw).astype(np.float32),
+        "labels": rng.uniform(-1, 1, (B, W, L, 2)).astype(np.float32),
+        "mask": np.ones((B, W, L), dtype=bool),
     }
 
 
@@ -127,6 +128,61 @@ def test_overlapping_lr_scale_prefixes_rejected():
 def test_malformed_lr_scale_rejected():
     with pytest.raises(ValueError, match="prefix=factor"):
         Trainer(make_cfg(lr_scale="gru:0.5"))
+
+
+def test_freeze_sharded_equals_single_device():
+    # the masked chain must survive GSPMD sharding: dp=4 == dp=1 up to the
+    # documented psum-reduce-order × Adam-rsqrt noise band (test_parallel.py
+    # test_sharded_equals_single_device uses the same 5e-3/1e-3 tolerances);
+    # FROZEN leaves must stay BITWISE equal regardless — zero is exact.
+    p0, single = _run_steps(make_cfg(freeze="audio", lr_scale="gru=0.25"),
+                            n=2)
+    _, sharded = _run_steps(make_cfg(num_data=4, freeze="audio",
+                                     lr_scale="gru=0.25"), n=2)
+    for k in single:
+        if k.startswith("audio/"):
+            np.testing.assert_array_equal(p0[k], sharded[k], err_msg=k)
+        else:
+            np.testing.assert_allclose(single[k], sharded[k], rtol=5e-3,
+                                       atol=1e-3, err_msg=k)
+
+
+def test_freeze_exact_resume(tmp_path):
+    """The masked opt_state (extra chain entries wrapping MaskedState) must
+    round-trip through the npz checkpoint: save at step 2, resume into a
+    FRESH trainer, continue — final params bitwise-equal an uninterrupted
+    4-step run."""
+    from m3f.pytorch_tpu.train.checkpoint import Checkpointer
+
+    cfg = make_cfg(freeze="audio", lr_scale="gru=0.25", weight_decay=1e-2)
+    batch = make_batch(cfg)
+
+    tr_a = Trainer(cfg)
+    state_a = tr_a.init_state(seed=0)
+    step_a = tr_a.make_train_step()
+    for _ in range(4):
+        state_a, _ = step_a(state_a, shard_batch(tr_a.mesh, batch))
+
+    tr_b = Trainer(cfg)
+    state_b = tr_b.init_state(seed=0)
+    step_b = tr_b.make_train_step()
+    for _ in range(2):
+        state_b, _ = step_b(state_b, shard_batch(tr_b.mesh, batch))
+    ck = Checkpointer(str(tmp_path), keep=1, cfg=cfg)
+    path = ck.save(state_b)
+
+    tr_c = Trainer(cfg)
+    state_c = tr_c.init_state(seed=1)  # different seed: restore must win
+    from m3f.pytorch_tpu.train.checkpoint import load_pytree
+    state_c = load_pytree(state_c, path)
+    step_c = tr_c.make_train_step()
+    for _ in range(2):
+        state_c, _ = step_c(state_c, shard_batch(tr_c.mesh, batch))
+
+    pa, pc = _named(state_a.params), _named(state_c.params)
+    for k in pa:
+        np.testing.assert_array_equal(pa[k], pc[k], err_msg=k)
+    assert int(state_c.step) == int(state_a.step) == 4
 
 
 def test_config_hash_conditional():
