@@ -227,9 +227,19 @@ class OptimConfig:
     weight_decay: float = 0.0
     grad_clip_norm: float = 5.0
     warmup_steps: int = 0
-    schedule: str = "constant"    # "constant" | "cosine" | "step"
+    schedule: str = "constant"    # "constant" | "cosine" | "step" | "plateau"
     step_decay_factor: float = 0.1   # "step": lr ×= factor at each boundary
     step_decay_every: int = 0        # "step": boundary spacing (0 → num_steps/3)
+    # "plateau": torch ReduceLROnPlateau on the eval selection metric
+    # (train.eval_ccc_convention). TPU-native mechanism: the multiplier is a
+    # replicated fp32 scalar in TrainState (checkpointed, exact-resume) that
+    # post-scales the optimizer update INSIDE the one jitted train step, so
+    # a decay never recompiles; fit() decides decays host-side at eval
+    # boundaries (train/loop.py). Requires eval-during-training — with
+    # eval_every=0 the multiplier simply never moves.
+    plateau_factor: float = 0.1      # lr_mult ×= factor after a plateau
+    plateau_patience: int = 2        # evals without improvement → decay
+    plateau_min_scale: float = 1e-3  # lr_mult floor (no further decays)
     accumulate_steps: int = 1     # optax.MultiSteps (SURVEY §2.3)
     # Fine-tuning controls for pretrained-backbone runs (the reference loads
     # IG-65M/Kinetics backbones at model __init__, SURVEY §3.5; torch users
@@ -356,6 +366,14 @@ class ExperimentConfig:
             optim.pop("freeze")
         if not optim["lr_scale"]:
             optim.pop("lr_scale")
+        if optim["schedule"] != "plateau":
+            # plateau knobs only shape training when the schedule is
+            # plateau (which itself changes the hash via "schedule" AND
+            # adds the lr_mult leaf to TrainState); popping them when
+            # inactive keeps pre-feature hashes byte-identical
+            for k in ("plateau_factor", "plateau_patience",
+                      "plateau_min_scale"):
+                optim.pop(k)
         semantic = {
             "model": model,
             "window": window,

@@ -50,6 +50,11 @@ class TrainState(NamedTuple):
     # EMA shadow of params (train.ema_decay > 0) or None. None flattens to
     # zero pytree leaves, so EMA-off checkpoints keep the historical layout.
     ema: Any = None
+    # plateau-schedule LR multiplier: replicated fp32 scalar when
+    # optim.schedule == "plateau", else None (same layout trick as ema).
+    # Living in TrainState makes decays checkpoint/resume-exact and lets
+    # fit() change the learning rate WITHOUT recompiling the train step.
+    lr_mult: Any = None
 
 
 class BestTracker:
@@ -147,10 +152,19 @@ def make_optimizer(cfg: OptimConfig,
             cfg.learning_rate,
             {b: cfg.step_decay_factor
              for b in range(every, num_steps, every)})
-    elif cfg.warmup_steps:
-        lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    elif cfg.schedule in ("constant", "plateau"):
+        # "plateau" = constant base schedule here; the data-driven decay is
+        # TrainState.lr_mult post-scaling inside the train step (fit()
+        # decides decays at eval boundaries — see OptimConfig docstring)
+        if cfg.warmup_steps:
+            lr = optax.linear_schedule(0.0, cfg.learning_rate,
+                                       cfg.warmup_steps)
+        else:
+            lr = cfg.learning_rate
     else:
-        lr = cfg.learning_rate
+        raise ValueError(
+            f"unknown optim.schedule {cfg.schedule!r} "
+            "(know: constant, cosine, step, plateau)")
     if cfg.optimizer == "adam":
         opt = optax.adamw(lr, weight_decay=cfg.weight_decay) if cfg.weight_decay \
             else optax.adam(lr)
@@ -254,8 +268,10 @@ class Trainer:
         # jnp.copy: distinct buffers so step-donation never aliases leaves
         ema = (jax.tree_util.tree_map(jnp.copy, params)
                if self.cfg.train.ema_decay > 0 else None)
+        lr_mult = (jnp.ones((), jnp.float32)
+                   if self.cfg.train.optim.schedule == "plateau" else None)
         state = TrainState(params, bn_state, opt_state,
-                           jnp.zeros((), jnp.int32), ema)
+                           jnp.zeros((), jnp.int32), ema, lr_mult)
         # replicated everywhere with num_model == 1; TP layout (GRU
         # column-parallel, head row-parallel) when the mesh has a model axis
         return jax.device_put(state, state_shardings(self.mesh, state))
@@ -301,6 +317,13 @@ class Trainer:
                 self._loss_fn, has_aux=True)(state.params, state.bn_state,
                                              batch, True, rng)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            if state.lr_mult is not None:
+                # plateau schedule: post-scale the final update — exactly a
+                # learning-rate multiplier for adam/adamw/sgd (lr-linear
+                # updates), and still correct under MultiSteps (off-boundary
+                # updates are zeros; boundary updates scale once)
+                updates = jax.tree_util.tree_map(
+                    lambda u: u * state.lr_mult.astype(u.dtype), updates)
             new_params = optax.apply_updates(state.params, updates)
             gnorm = optax.global_norm(grads)
             metrics = {
@@ -343,7 +366,7 @@ class Trainer:
                         lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
                         state.ema, new_params)
             new_state = TrainState(new_params, new_bn, new_opt,
-                                   state.step + 1, new_ema)
+                                   state.step + 1, new_ema, state.lr_mult)
             if tp:
                 # pin the TP layout on the outputs so the state's sharding is
                 # stationary across steps (donation requires in == out)
@@ -792,6 +815,15 @@ class Trainer:
         train_step = self.make_train_step()
         history = {"loss": []}
         best = BestTracker(tcfg.early_stop_patience, tcfg.min_delta)
+        # plateau schedule: its own patience window, independent of early
+        # stopping (torch ReduceLROnPlateau semantics: decay after
+        # `plateau_patience` evals without improvement, then restart the
+        # window; the best-so-far reference is kept across decays). The
+        # counter restarts on resume — like BestTracker — but the multiplier
+        # itself lives in TrainState, so the effective LR resumes exactly.
+        ocfg = tcfg.optim
+        plateau = (BestTracker(max(ocfg.plateau_patience, 1), tcfg.min_delta)
+                   if ocfg.schedule == "plateau" else None)
         t0 = time.time()
         seen = 0
         use_a, use_v = self.cfg.model.use_audio, self.cfg.model.use_video
@@ -845,6 +877,23 @@ class Trainer:
                 history.setdefault("eval", []).append(ev)
                 if metric_writer is not None:
                     metric_writer.write(i + 1, {f"eval_{k}": v for k, v in ev.items()})
+                if plateau is not None:
+                    _, hit = plateau.update(ev["ccc_select"], i + 1)
+                    if hit:
+                        cur = float(state.lr_mult)
+                        new = max(cur * ocfg.plateau_factor,
+                                  ocfg.plateau_min_scale)
+                        if new < cur:
+                            # same replicated scalar shape/dtype/sharding →
+                            # the compiled train step is reused as-is
+                            state = state._replace(lr_mult=jax.device_put(
+                                jnp.float32(new),
+                                state.lr_mult.sharding))
+                            log(f"  plateau @{i+1}: no "
+                                f"{tcfg.eval_ccc_convention} CCC improvement "
+                                f"for {plateau.bad_evals} evals — lr x "
+                                f"{ocfg.plateau_factor:g} (mult {new:.2e})")
+                        plateau.bad_evals = 0
                 # selection metric honors train.eval_ccc_convention
                 is_best, should_stop = best.update(ev["ccc_select"], i + 1)
                 if is_best and checkpointer is not None:
