@@ -87,12 +87,42 @@ class Predictor:
         self.trainer = Trainer(cfg)
         self.state = self.trainer.init_state()
         self._fwd = None                      # cached jitted group forward
+        self.checkpoint_path = ""
+        self.reload_count = 0
         if checkpoint:
-            from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
-            self.state = load_model_checkpoint(self.state, checkpoint)
+            self._load(checkpoint)
+        else:
+            # init_state is already device-resident; just apply EMA policy
+            self.state = self.trainer.eval_state(self.state)
+
+    def _load(self, checkpoint: str) -> None:
+        from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
+        state = load_model_checkpoint(self.state, checkpoint)
         # serving uses the EMA shadow when the checkpoint carries one
-        # (idempotent; streaming reads state.params directly)
-        self.state = self.trainer.eval_state(self.state)
+        # (idempotent; streaming reads state.params directly).
+        # commit_state: the loader returns HOST numpy leaves, which a jitted
+        # dispatch would re-upload on EVERY request — device-resident once.
+        self.state = self.trainer.commit_state(self.trainer.eval_state(state))
+        self.checkpoint_path = checkpoint
+
+    def reload(self, checkpoint: str) -> dict:
+        """Hot-swap weights from ``checkpoint`` without recompiling.
+
+        The new state has the same pytree structure/shapes (same config), so
+        every compiled graph — whole-video shape buckets, streaming
+        forwards, SessionGroup batch buckets — is reused as-is; the swap is
+        one atomic reference assignment. In-flight forwards finish on the
+        old weights; later dispatches (including live streams' next push —
+        a mid-stream swap changes the model mid-video, like any production
+        weight push) use the new ones. On failure (missing file,
+        architecture mismatch) the old state keeps serving untouched.
+        Returns {"checkpoint", "step", "reloads"} for the operator.
+        """
+        self._load(checkpoint)
+        self.reload_count += 1
+        return {"checkpoint": checkpoint,
+                "step": int(np.asarray(self.state.step)),
+                "reloads": self.reload_count}
 
     def _eval_forward(self):
         if self._fwd is None:

@@ -35,6 +35,13 @@ Protocol (binary-first — videos are big, JSON base64 would triple them):
                                   response-class counts, p50/p99 latency,
                                   micro-batch size histogram, active and
                                   evicted stream counts
+    POST /reload               body = {"checkpoint": "<server-side path>"}
+                               -> {"ok": true, "step": N, "reloads": k}
+                               Hot weight swap without recompiling (same
+                               config/shapes → every compiled bucket is
+                               reused). Operator endpoint: enabled only by
+                               `m3f serve --allow-reload` (403 otherwise);
+                               failures leave the old weights serving.
 
     Sessions idle longer than ``stream_ttl_s`` (default 300 s) are evicted
     — their slot is reclaimed and later touches answer 410 Gone (a session
@@ -126,7 +133,8 @@ class _Stats:
 class PredictServer:
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8321,
                  max_body: int = 1 << 30, max_streams: int = 64,
-                 stream_ttl_s: float = 300.0, push_timeout_s: float = 30.0):
+                 stream_ttl_s: float = 300.0, push_timeout_s: float = 30.0,
+                 allow_reload: bool = False):
         from m3f.pytorch_tpu.infer.predictor import SessionGroup
 
         self.predictor = predictor
@@ -145,6 +153,11 @@ class PredictServer:
         # answer 410 Gone afterwards, distinct from never-existed 404s
         self.stream_ttl_s = stream_ttl_s
         self.push_timeout_s = push_timeout_s
+        # POST /reload hot-swaps weights from a checkpoint path in the
+        # request body — an OPERATOR endpoint (it reads server-side files),
+        # so it is off unless the operator started the server with
+        # --allow-reload (403 otherwise)
+        self.allow_reload = allow_reload
         self.stats = _Stats()
         # micro-batching of concurrent /push requests: the first arrival
         # becomes the leader, sleeps batch_window_s so concurrent sessions'
@@ -188,6 +201,8 @@ class PredictServer:
                         "image_size": cfg.data.image_size,
                         "sample_rate": cfg.model.mel.sample_rate,
                         "fps": cfg.data.fps,
+                        "checkpoint": outer.predictor.checkpoint_path,
+                        "reloads": outer.predictor.reload_count,
                     }).encode())
                 elif path == "/statz":
                     self._route = "statz"
@@ -300,12 +315,48 @@ class PredictServer:
                 self._fail(404, f"unknown path /{path.strip('/')}")
                 return True
 
+            def _reload_route(self):
+                """POST /reload {"checkpoint": path} — hot weight swap.
+
+                Serialized with every other model use via the device lock:
+                the swap lands between batched forwards, so a request is
+                answered entirely by one set of weights. Failures leave the
+                old weights serving (Predictor.reload contract).
+                """
+                self._route = "reload"
+                if not outer.allow_reload:
+                    return self._fail(
+                        403, "reload disabled — start the server with "
+                             "--allow-reload to enable POST /reload")
+                n = int(self.headers.get("Content-Length", 0))
+                if not 0 < n <= 1 << 20:
+                    return self._fail(400, f"bad Content-Length {n}")
+                try:
+                    body = json.loads(self.rfile.read(n))
+                    path = body["checkpoint"]
+                except (ValueError, KeyError, TypeError):
+                    return self._fail(
+                        400, 'body must be JSON {"checkpoint": "<path>"}')
+                try:
+                    with outer._lock:
+                        info = outer.predictor.reload(path)
+                except FileNotFoundError:
+                    return self._fail(400, f"no such checkpoint: {path}")
+                except ValueError as e:        # architecture mismatch etc.
+                    return self._fail(400, str(e))
+                except Exception as e:  # noqa: BLE001 — JSON 500, never a
+                    # dropped connection; old weights keep serving
+                    return self._fail(500, f"{type(e).__name__}: {e}")
+                self._send(200, json.dumps({"ok": True, **info}).encode())
+
             def do_POST(self):
                 from urllib.parse import parse_qs, urlparse
                 self._t0 = time.monotonic()
                 url = urlparse(self.path)
                 if self._stream_routes(url.path):
                     return
+                if url.path.rstrip("/") == "/reload":
+                    return self._reload_route()
                 if url.path.rstrip("/") != "/predict":
                     return self._fail(404, f"unknown path {url.path}")
                 self._route = "predict"
@@ -498,7 +549,8 @@ class PredictServer:
 def run_server(predictor, host: str = "127.0.0.1", port: int = 8321,
                warmup_frames: Optional[int] = 1024, log=print,
                max_streams: int = 64, stream_ttl_s: float = 300.0,
-               push_timeout_s: float = 30.0, warmup_rates=()):
+               push_timeout_s: float = 30.0, warmup_rates=(),
+               allow_reload: bool = False):
     """CLI entry body: warm the shape buckets, then serve until SIGINT."""
     if warmup_frames:
         log(f"warming shape buckets up to {warmup_frames} frames "
@@ -508,7 +560,8 @@ def run_server(predictor, host: str = "127.0.0.1", port: int = 8321,
                          rates=tuple(warmup_rates))
     srv = PredictServer(predictor, host=host, port=port,
                         max_streams=max_streams, stream_ttl_s=stream_ttl_s,
-                        push_timeout_s=push_timeout_s)
+                        push_timeout_s=push_timeout_s,
+                        allow_reload=allow_reload)
     if warmup_frames:
         # the micro-batcher's power-of-two [b, W, ...] buckets are separate
         # graphs; cold ones would compile while the batch leader holds the

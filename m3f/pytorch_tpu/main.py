@@ -164,9 +164,12 @@ def cmd_eval(cfg: ExperimentConfig, args) -> int:
     state = trainer.init_state()
     if args.checkpoint:
         # accepts full TrainState ckpts AND import_torch_checkpoint.py
-        # {params,state} npz files (imported reference/torch weights)
+        # {params,state} npz files (imported reference/torch weights);
+        # commit_state: loaded leaves are host numpy — without it every
+        # video's dispatch re-uploads the whole parameter set
         from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
-        state = load_model_checkpoint(state, args.checkpoint)
+        state = trainer.commit_state(
+            load_model_checkpoint(state, args.checkpoint))
     ds = make_dataset(cfg, args.split)
     # --per-video: one JSON row per video (which videos drag the mean down)
     row = (lambda vid, r: print(json.dumps(
@@ -227,7 +230,8 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
     state = trainer.init_state()
     if args.checkpoint:
         from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
-        state = load_model_checkpoint(state, args.checkpoint)
+        state = trainer.commit_state(
+            load_model_checkpoint(state, args.checkpoint))
     ds = make_dataset(cfg, args.split)
     preds: Dict[str, np.ndarray] = {}
     valids: Dict[str, np.ndarray] = {}
@@ -323,6 +327,10 @@ def main(argv=None) -> int:
     sp.add_argument("--push-timeout", type=float, default=30.0,
                     help="max seconds a push may wait behind the "
                          "micro-batcher before answering 503")
+    sp.add_argument("--allow-reload", action="store_true",
+                    help="enable POST /reload (hot weight swap from a "
+                         "server-side checkpoint path; operator endpoint, "
+                         "off by default)")
     sp.add_argument("overrides", nargs="*")
     sp = sub.add_parser("doctor",
                         help="dataset pre-flight: scan the ABAW tree for "
@@ -367,7 +375,8 @@ def main(argv=None) -> int:
                           max_streams=args.max_streams,
                           stream_ttl_s=args.stream_ttl,
                           push_timeout_s=args.push_timeout,
-                          warmup_rates=rates)
+                          warmup_rates=rates,
+                          allow_reload=args.allow_reload)
     return {"train": cmd_train, "eval": cmd_eval, "predict": cmd_predict}[args.cmd](cfg, args)
 
 

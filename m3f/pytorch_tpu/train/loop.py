@@ -276,6 +276,19 @@ class Trainer:
         # column-parallel, head row-parallel) when the mesh has a model axis
         return jax.device_put(state, state_shardings(self.mesh, state))
 
+    def commit_state(self, state: TrainState) -> TrainState:
+        """Place a (possibly host-numpy) state on the mesh with the
+        canonical shardings.
+
+        Checkpoint loads (``load_model_checkpoint``/``load_pytree``) return
+        HOST numpy leaves; a jitted dispatch converts + uploads those on
+        EVERY call — for a checkpoint-loaded serving/eval process that is
+        the whole parameter set re-crossing H2D per video/request (on a
+        remote-tunnel host: seconds). One ``device_put`` here makes the
+        state device-resident once, like ``init_state`` already does.
+        """
+        return jax.device_put(state, state_shardings(self.mesh, state))
+
     # -- steps ------------------------------------------------------------
 
     def _loss_fn(self, params, bn_state, batch, train: bool, rng=None):
