@@ -159,24 +159,40 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
     return 0
 
 
+def _load_states(trainer, checkpoint_arg: str):
+    """--checkpoint "a.npz" or "a.npz,b.npz,..." → list of committed states.
+
+    The comma form is the challenge-era prediction-level ensemble: eval /
+    predict average the k models' per-frame tracks (Trainer.evaluate_ensemble
+    / predict_ensemble). Accepts full TrainState ckpts AND
+    import_torch_checkpoint.py {params,state} npz files. commit_state:
+    loaded leaves are host numpy — without it every video's dispatch
+    re-uploads the whole parameter set (BASELINE.md round 4: 23x).
+    """
+    from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
+    states = []
+    for path in (p for p in checkpoint_arg.split(",") if p.strip()):
+        states.append(trainer.commit_state(
+            load_model_checkpoint(trainer.init_state(), path.strip())))
+    return states
+
+
 def cmd_eval(cfg: ExperimentConfig, args) -> int:
     trainer = Trainer(cfg)
-    state = trainer.init_state()
-    if args.checkpoint:
-        # accepts full TrainState ckpts AND import_torch_checkpoint.py
-        # {params,state} npz files (imported reference/torch weights);
-        # commit_state: loaded leaves are host numpy — without it every
-        # video's dispatch re-uploads the whole parameter set
-        from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
-        state = trainer.commit_state(
-            load_model_checkpoint(state, args.checkpoint))
-    ds = make_dataset(cfg, args.split)
     # --per-video: one JSON row per video (which videos drag the mean down)
     row = (lambda vid, r: print(json.dumps(
         {"video": vid, "ccc_v": r["ccc_v"], "ccc_a": r["ccc_a"]}))
     ) if args.per_video else None
-    res = trainer.evaluate(state, ds, max_videos=args.max_videos,
-                           per_video_fn=row)
+    ds = make_dataset(cfg, args.split)
+    states = _load_states(trainer, args.checkpoint) if args.checkpoint \
+        else [trainer.init_state()]
+    if len(states) > 1:
+        res = trainer.evaluate_ensemble(states, ds,
+                                        max_videos=args.max_videos,
+                                        per_video_fn=row)
+    else:
+        res = trainer.evaluate(states[0], ds, max_videos=args.max_videos,
+                               per_video_fn=row)
     print(json.dumps(res))
     return 0
 
@@ -227,11 +243,8 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
         raise SystemExit("window.eval_smooth and --smooth are both set; "
                          "predictions would be smoothed twice — pick one")
     trainer = Trainer(cfg)
-    state = trainer.init_state()
-    if args.checkpoint:
-        from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
-        state = trainer.commit_state(
-            load_model_checkpoint(state, args.checkpoint))
+    states = _load_states(trainer, args.checkpoint) if args.checkpoint \
+        else [trainer.init_state()]
     ds = make_dataset(cfg, args.split)
     preds: Dict[str, np.ndarray] = {}
     valids: Dict[str, np.ndarray] = {}
@@ -245,8 +258,17 @@ def cmd_predict(cfg: ExperimentConfig, args) -> int:
         valids[vid] = video["valid"]
         return vid, video
 
-    for vid, r in trainer.evaluate_stream(state, (load(v) for v in ids)):
-        preds[vid] = r["pred"]
+    if len(states) > 1:
+        # checkpoint ensemble: mean per-frame track over the k models
+        # (the k dispatches per video already overlap inside
+        # predict_ensemble, so the cross-video pipelining matters less)
+        for vid in ids:
+            v, video = load(vid)
+            preds[v] = trainer.predict_ensemble(states, video)
+    else:
+        for vid, r in trainer.evaluate_stream(states[0],
+                                              (load(v) for v in ids)):
+            preds[vid] = r["pred"]
     write_submission(args.out, preds, valids, smooth_window=args.smooth)
     print(f"wrote {len(preds)} submission files to {args.out}")
     return 0
@@ -293,7 +315,11 @@ def main(argv=None) -> int:
                                  "--resume_from_checkpoint); ignored when the "
                                  "dir already has checkpoints")
         else:
-            sp.add_argument("--checkpoint", default="")
+            sp.add_argument("--checkpoint", default="",
+                            help="TrainState or imported npz; a comma list "
+                                 "'a.npz,b.npz' evaluates/predicts the "
+                                 "PREDICTION-level ensemble (mean per-frame "
+                                 "track of the k models)")
             sp.add_argument("--max-videos", type=int, default=0)
             # predict on "test" = ABAW submission videos (crops, no labels);
             # eval needs labels so test is predict-only

@@ -809,6 +809,68 @@ class Trainer:
         for v, fut in inflight:
             yield v, self._collect_eval(fut)
 
+    def evaluate_ensemble(self, states: List[TrainState], dataset,
+                          max_videos: int = 0,
+                          per_video_fn=None) -> Dict[str, float]:
+        """Prediction-level ensemble over several checkpoints' states.
+
+        The reference-era challenge workflow averages the PREDICTIONS of
+        multiple trained checkpoints (distinct from weight-space SWA —
+        scripts/average_checkpoints.py — which requires loss-surface
+        proximity). Each video is decoded/uploaded once per state; all k
+        states' fused evals are dispatched asynchronously before the first
+        collect, so transfers overlap compute. The per-frame mean of the k
+        stitched, postprocessed prediction tracks is scored with the same
+        host fp64 CCC both conventions use. Return keys match
+        :meth:`evaluate` (+ ``n_models``).
+        """
+        if not states:
+            raise ValueError("evaluate_ensemble() needs at least one state")
+        ids = dataset.video_ids()
+        if max_videos:
+            ids = ids[:max_videos]
+        if not ids:
+            raise ValueError(
+                "evaluate_ensemble(): the split has no videos — check "
+                "data.root / annotation layout")
+        vs, as_ = [], []
+        pooled = np.zeros((2, 6), np.float64)
+        for vid in ids:
+            video = dataset.load_video(vid)
+            pred = self.predict_ensemble(states, video)
+            labels = np.asarray(video["labels"], np.float32)
+            valid = np.asarray(video["valid"], bool)
+            per_dim = _host_ccc(pred, labels, valid)
+            r = {"pred": pred, "ccc_v": float(per_dim[0]),
+                 "ccc_a": float(per_dim[1]),
+                 "stats": ccc_sufficient_stats(pred, labels, valid)}
+            if per_video_fn is not None:
+                per_video_fn(vid, r)
+            vs.append(r["ccc_v"])
+            as_.append(r["ccc_a"])
+            pooled += r["stats"]
+        pc = ccc_from_stats(pooled)
+        out = {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
+               "ccc_mean": float((np.mean(vs) + np.mean(as_)) / 2),
+               "pooled_ccc_v": float(pc[0]), "pooled_ccc_a": float(pc[1]),
+               "pooled_ccc_mean": float(pc.mean()),
+               "n_models": len(states)}
+        out["ccc_select"] = (out["pooled_ccc_mean"]
+                             if self.cfg.train.eval_ccc_convention == "pooled"
+                             else out["ccc_mean"])
+        return out
+
+    def predict_ensemble(self, states: List[TrainState],
+                         video) -> np.ndarray:
+        """[N, 2] mean stitched prediction of ``states`` on one video.
+
+        Dispatch-all-then-collect: the k evals are enqueued unsynced so H2D
+        overlaps compute across models (same trick as evaluate_stream's
+        video pipelining, across STATES instead of videos)."""
+        pending = [self._dispatch_eval(st, video) for st in states]
+        preds = [self._collect_eval(p)["pred"] for p in pending]
+        return np.mean(preds, axis=0, dtype=np.float64).astype(np.float32)
+
     # -- fit ---------------------------------------------------------------
 
     def fit(self, train_stream,
