@@ -238,7 +238,8 @@ class OptimConfig:
     # boundaries (train/loop.py). Requires eval-during-training — with
     # eval_every=0 the multiplier simply never moves.
     plateau_factor: float = 0.1      # lr_mult ×= factor after a plateau
-    plateau_patience: int = 2        # evals without improvement → decay
+    plateau_patience: int = 2        # torch semantics: IGNORE this many bad
+    #                                  evals, decay on the next one
     plateau_min_scale: float = 1e-3  # lr_mult floor (no further decays)
     accumulate_steps: int = 1     # optax.MultiSteps (SURVEY §2.3)
     # Fine-tuning controls for pretrained-backbone runs (the reference loads

@@ -19,6 +19,7 @@ pipelining the CLI ``predict`` subcommand uses.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, Iterable, Iterator, Optional, Tuple
 
 import numpy as np
@@ -92,36 +93,55 @@ class Predictor:
         if checkpoint:
             self._load(checkpoint)
         else:
-            # init_state is already device-resident; just apply EMA policy
-            self.state = self.trainer.eval_state(self.state)
+            # init_state is already device-resident; apply the EMA policy
+            # and drop what serving never reads (opt moments, ema alias)
+            self.state = self.trainer.eval_state(self.state) \
+                ._replace(opt_state=None, ema=None)
 
     def _load(self, checkpoint: str) -> None:
-        from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
-        state = load_model_checkpoint(self.state, checkpoint)
-        # serving uses the EMA shadow when the checkpoint carries one
-        # (idempotent; streaming reads state.params directly).
-        # commit_state: the loader returns HOST numpy leaves, which a jitted
-        # dispatch would re-upload on EVERY request — device-resident once.
-        self.state = self.trainer.commit_state(self.trainer.eval_state(state))
+        """Load + upload ``checkpoint`` and swap it in (see ``reload``)."""
+        self.state = self._prepare_state(checkpoint)
         self.checkpoint_path = checkpoint
 
-    def reload(self, checkpoint: str) -> dict:
+    def _prepare_state(self, checkpoint: str):
+        """Read ``checkpoint`` and return a device-resident eval state
+        WITHOUT touching ``self.state`` — the expensive part of a hot
+        reload (file read + H2D upload, seconds on a remote-tunnel host),
+        safe to run while forwards keep serving the old weights.
+
+        commit_state(eval_only): the loader returns HOST numpy leaves,
+        which a jitted dispatch would re-upload on EVERY request —
+        device-resident once, EMA folded in, opt moments dropped."""
+        from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
+        return self.trainer.commit_state(
+            load_model_checkpoint(self.state, checkpoint), eval_only=True)
+
+    def reload(self, checkpoint: str, lock=None) -> dict:
         """Hot-swap weights from ``checkpoint`` without recompiling.
 
         The new state has the same pytree structure/shapes (same config), so
         every compiled graph — whole-video shape buckets, streaming
-        forwards, SessionGroup batch buckets — is reused as-is; the swap is
-        one atomic reference assignment. In-flight forwards finish on the
-        old weights; later dispatches (including live streams' next push —
-        a mid-stream swap changes the model mid-video, like any production
-        weight push) use the new ones. On failure (missing file,
-        architecture mismatch) the old state keeps serving untouched.
+        forwards, SessionGroup batch buckets — is reused as-is. The
+        expensive load + device upload runs FIRST, with serving untouched
+        (a server passing its device ``lock`` here must NOT hold it —
+        round-4 review: locking the whole reload stalled every request
+        ~12 s); only the final reference swap takes ``lock``, so it lands
+        between batched forwards. Forwards snapshot ``state`` once per
+        dispatch, so each runs on one coherent (params, bn_state) pair;
+        later dispatches (including live streams' next push — a mid-stream
+        swap changes the model mid-video, like any production weight push)
+        use the new ones. On failure (missing file, architecture mismatch)
+        the old state keeps serving untouched.
         Returns {"checkpoint", "step", "reloads"} for the operator.
         """
-        self._load(checkpoint)
-        self.reload_count += 1
+        state = self._prepare_state(checkpoint)
+        ctx = lock if lock is not None else contextlib.nullcontext()
+        with ctx:
+            self.state = state
+            self.checkpoint_path = checkpoint
+            self.reload_count += 1
         return {"checkpoint": checkpoint,
-                "step": int(np.asarray(self.state.step)),
+                "step": int(np.asarray(state.step)),
                 "reloads": self.reload_count}
 
     def _eval_forward(self):
@@ -403,8 +423,11 @@ class StreamingSession:
         """
         feed = {k: v[None] for k, v in self._group_feed(
             starts, frames, f_base, wav, s_base).items()}
+        # snapshot: a concurrent hot reload() reassigns p.state between two
+        # attribute reads — one read keeps (params, bn_state) coherent
+        st = self.p.state
         preds = np.asarray(
-            self._fwd(self.p.state.params, self.p.state.bn_state, feed),
+            self._fwd(st.params, st.bn_state, feed),
             np.float32)[0]                                 # [W, L, 2]
         self._apply_group(preds, starts, win_valid)
 
@@ -500,9 +523,10 @@ class StreamingSession:
         """Append stream data; returns (first_frame_index, preds [k, 2])
         for the frames finalized by this push (k may be 0)."""
         self._append(frames, waveform)
-        for starts, feed in self._collect_ready():
+        st = self.p.state      # one coherent (params, bn_state) per push,
+        for starts, feed in self._collect_ready():  # reload()-safe
             preds = np.asarray(
-                self._fwd(self.p.state.params, self.p.state.bn_state,
+                self._fwd(st.params, st.bn_state,
                           {k: v[None] for k, v in feed.items()}),
                 np.float32)[0]
             self._apply_group(preds, starts, np.ones(self.W, bool))
@@ -643,6 +667,9 @@ class SessionGroup:
         successfully collected groups have been forwarded and applied.
         """
         pending = []                    # (session, starts, feed)
+        # one state snapshot for the whole tick: every chunk of this batch
+        # runs on the same weights even if a hot reload lands mid-call
+        st = self.p.state
         failed: Dict[StreamingSession, Exception] = {}
         for sess, data in pushes.items():
             try:
@@ -661,7 +688,7 @@ class SessionGroup:
                                   + [chunk[0][2][key]] * (b - k))
                     for key in chunk[0][2]}
             preds = np.asarray(
-                self._fwd(self.p.state.params, self.p.state.bn_state, feed),
+                self._fwd(st.params, st.bn_state, feed),
                 np.float32)
             for (sess, starts, _), pred in zip(chunk, preds[:k]):
                 sess._apply_group(pred, starts,

@@ -212,8 +212,22 @@ class PredictServer:
                 else:
                     self._fail(404, f"unknown path {self.path}")
 
+            def _content_length(self):
+                """Content-Length as int, or None after a JSON 400 — a raw
+                client sending a non-numeric header must get an HTTP error,
+                not a dropped connection from an uncaught ValueError
+                (round-4 review)."""
+                raw = self.headers.get("Content-Length", 0)
+                try:
+                    return int(raw)
+                except (TypeError, ValueError):
+                    self._fail(400, f"bad Content-Length {raw!r}")
+                    return None
+
             def _read_npz(self):
-                n = int(self.headers.get("Content-Length", 0))
+                n = self._content_length()
+                if n is None:
+                    return None
                 if n > max_body:
                     self._fail(413, f"body too large ({n})")
                     return None
@@ -328,7 +342,9 @@ class PredictServer:
                     return self._fail(
                         403, "reload disabled — start the server with "
                              "--allow-reload to enable POST /reload")
-                n = int(self.headers.get("Content-Length", 0))
+                n = self._content_length()
+                if n is None:
+                    return
                 if not 0 < n <= 1 << 20:
                     return self._fail(400, f"bad Content-Length {n}")
                 try:
@@ -337,9 +353,18 @@ class PredictServer:
                 except (ValueError, KeyError, TypeError):
                     return self._fail(
                         400, 'body must be JSON {"checkpoint": "<path>"}')
+                if not isinstance(path, str):
+                    # np.load(123) raises TypeError deep inside otherwise —
+                    # a client error must be a 400, not a 500
+                    return self._fail(
+                        400, 'body must be JSON {"checkpoint": "<path>"}')
                 try:
-                    with outer._lock:
-                        info = outer.predictor.reload(path)
+                    # the checkpoint read + H2D upload run WITHOUT the device
+                    # lock (serving continues on the old weights, ~12 s
+                    # measured for the fusion model over the tunnel); only
+                    # the final reference swap takes outer._lock, landing
+                    # between batched forwards (round-4 review)
+                    info = outer.predictor.reload(path, lock=outer._lock)
                 except FileNotFoundError:
                     return self._fail(400, f"no such checkpoint: {path}")
                 except ValueError as e:        # architecture mismatch etc.
@@ -360,7 +385,9 @@ class PredictServer:
                 if url.path.rstrip("/") != "/predict":
                     return self._fail(404, f"unknown path {url.path}")
                 self._route = "predict"
-                n = int(self.headers.get("Content-Length", 0))
+                n = self._content_length()
+                if n is None:
+                    return
                 if not 0 < n <= max_body:
                     return self._fail(413 if n else 400,
                                       f"bad Content-Length {n}")

@@ -165,16 +165,21 @@ def _load_states(trainer, checkpoint_arg: str):
     The comma form is the challenge-era prediction-level ensemble: eval /
     predict average the k models' per-frame tracks (Trainer.evaluate_ensemble
     / predict_ensemble). Accepts full TrainState ckpts AND
-    import_torch_checkpoint.py {params,state} npz files. commit_state:
-    loaded leaves are host numpy — without it every video's dispatch
-    re-uploads the whole parameter set (BASELINE.md round 4: 23x).
+    import_torch_checkpoint.py {params,state} npz files.
+    commit_state(eval_only): loaded leaves are host numpy — without the
+    commit every video's dispatch re-uploads the whole parameter set
+    (BASELINE.md round 4: 23x); eval_only keeps the k members' Adam moments
+    and ema aliases off the device entirely. ONE init_state serves as the
+    load template for all members (it is only read for shapes/dtypes).
     """
     from m3f.pytorch_tpu.train.checkpoint import load_model_checkpoint
-    states = []
-    for path in (p for p in checkpoint_arg.split(",") if p.strip()):
-        states.append(trainer.commit_state(
-            load_model_checkpoint(trainer.init_state(), path.strip())))
-    return states
+    paths = [p.strip() for p in checkpoint_arg.split(",") if p.strip()]
+    if not paths:
+        raise SystemExit(
+            f"--checkpoint {checkpoint_arg!r} contains no checkpoint paths")
+    template = trainer.init_state()
+    return [trainer.commit_state(load_model_checkpoint(template, p),
+                                 eval_only=True) for p in paths]
 
 
 def cmd_eval(cfg: ExperimentConfig, args) -> int:

@@ -276,7 +276,8 @@ class Trainer:
         # column-parallel, head row-parallel) when the mesh has a model axis
         return jax.device_put(state, state_shardings(self.mesh, state))
 
-    def commit_state(self, state: TrainState) -> TrainState:
+    def commit_state(self, state: TrainState,
+                     eval_only: bool = False) -> TrainState:
         """Place a (possibly host-numpy) state on the mesh with the
         canonical shardings.
 
@@ -286,7 +287,16 @@ class Trainer:
         the whole parameter set re-crossing H2D per video/request (on a
         remote-tunnel host: seconds). One ``device_put`` here makes the
         state device-resident once, like ``init_state`` already does.
+
+        ``eval_only``: the state will only ever be read by eval/serving
+        dispatches (params + bn_state). The EMA policy is folded in first
+        (``eval_state``), then the opt_state (Adam moments ≈ 2× params) and
+        the now-redundant ema alias are dropped so they never cross H2D or
+        occupy HBM — a k-checkpoint ensemble would otherwise pin k sets of
+        moments plus k duplicate parameter copies (round-4 review).
         """
+        if eval_only:
+            state = self.eval_state(state)._replace(opt_state=None, ema=None)
         return jax.device_put(state, state_shardings(self.mesh, state))
 
     # -- steps ------------------------------------------------------------
@@ -573,27 +583,27 @@ class Trainer:
         return self._collect_eval(self._dispatch_eval(state, video))
 
     def _dispatch_eval(self, state: TrainState,
-                       video: Dict[str, np.ndarray]):
+                       video: Dict[str, np.ndarray], prep=None):
         """Enqueue the whole-video eval WITHOUT syncing.
 
         Returns (n_frames, device futures). jax dispatch is async, so a
         caller can keep several videos in flight — the next video's H2D
         transfer (the bottleneck on a remote-tunnel host) overlaps the
         current video's compute. ``_collect_eval`` fetches the results.
+
+        ``prep``: a ``_prepare_eval_inputs`` result to reuse — ensemble
+        callers dispatch the SAME video against k states, and sharing the
+        prepared device buffers keeps each frame/sample to one H2D crossing
+        per video instead of one per model (round-4 review).
         """
         state = self.eval_state(state)
         wcfg = self.cfg.window
-        mcfg = self.cfg.model
         n = len(video["labels"])
-        L, W = wcfg.window_frames, wcfg.windows_per_clip
-        starts = window_starts(n, L, wcfg.eval_stride)            # [Nw]
-
-        n_win = len(starts)
-        if wcfg.eval_max_windows and n_win > wcfg.eval_max_windows:
+        starts = window_starts(n, wcfg.window_frames,
+                               wcfg.eval_stride)                  # [Nw]
+        if wcfg.eval_max_windows and len(starts) > wcfg.eval_max_windows:
             # long video: bounded window batches, host-side accumulation
             return self._dispatch_eval_chunked(state, video, starts)
-        spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
-        sr = mcfg.mel.sample_rate
 
         # ONE jit call does windowing (on-device gather), forward (sequence
         # batch sharded over the mesh when it has >1 data device — C-P2),
@@ -603,6 +613,29 @@ class Trainer:
         # across variable-length videos.
         eval_fn = self._video_eval_fn or self.make_video_eval_fn()
         self._video_eval_fn = eval_fn
+        if prep is None:
+            prep = self._prepare_eval_inputs(video, starts)
+        n, args, kw, labels, valid = prep
+        stitched_d, per_dim_d = eval_fn(state.params, state.bn_state,
+                                        *args, **kw)
+        # labels/valid ride along (host arrays, tiny) so _collect_eval can
+        # also emit pooled-CCC sufficient statistics
+        return n, stitched_d, per_dim_d, labels, valid
+
+    def _prepare_eval_inputs(self, video: Dict[str, np.ndarray],
+                             starts: np.ndarray):
+        """Host windowing/padding + ONE async device upload of a (fused-path)
+        video's eval inputs → ``(n, args, kw, labels, valid)``.
+
+        ``args``/``kw`` leaves are jnp arrays: the H2D transfer is dispatched
+        here, once, and every ``_dispatch_eval`` reusing this prep rides the
+        same buffers (device-side resharding under a >1-device mesh is
+        handled by the jit's in_shardings as before)."""
+        wcfg, mcfg = self.cfg.window, self.cfg.model
+        n = len(video["labels"])
+        n_win = len(starts)
+        spw = samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window)
+        sr = mcfg.mel.sample_rate
         n_frames_pad, n_win_pad = self.eval_buckets(n)
         starts_padded = np.concatenate(
             [starts, np.repeat(starts[-1:], n_win_pad - n_win)])
@@ -616,8 +649,8 @@ class Trainer:
         kw = {}
         if mcfg.use_video:
             frames = video["frames"]
-            kw["frames"] = np.pad(
-                frames, [(0, n_frames_pad - len(frames))] + [(0, 0)] * 3)
+            kw["frames"] = jnp.asarray(np.pad(
+                frames, [(0, n_frames_pad - len(frames))] + [(0, 0)] * 3))
         if mcfg.use_audio:
             need = int(round(n_frames_pad / fps * sr)) + spw
             if fps != self.cfg.data.fps:
@@ -627,24 +660,21 @@ class Trainer:
             # the video (common in real containers) would otherwise give
             # every video a distinct wav shape — one fresh XLA compile each,
             # defeating the shape bucketing
-            kw["wav"] = np.pad(wav, (0, max(0, need - len(wav))))[:need] \
-                .astype(np.float32)
+            kw["wav"] = jnp.asarray(
+                np.pad(wav, (0, max(0, need - len(wav))))[:need]
+                .astype(np.float32))
         sample_starts = np.round(
             starts_padded / fps * sr).astype(np.int32)
         labels_pad = np.full((n_frames_pad, 2), -5.0, np.float32)
         labels_pad[:n] = video["labels"]
         valid_pad = np.zeros(n_frames_pad, bool)
         valid_pad[:n] = video["valid"]
-        stitched_d, per_dim_d = eval_fn(
-            state.params, state.bn_state,
-            jnp.asarray(starts_padded, jnp.int32),
-            jnp.asarray(sample_starts),
-            jnp.asarray(win_valid),
-            jnp.asarray(labels_pad), jnp.asarray(valid_pad),
-            jnp.asarray(n, jnp.int32), **kw)
-        # labels/valid ride along (host arrays, tiny) so _collect_eval can
-        # also emit pooled-CCC sufficient statistics
-        return n, stitched_d, per_dim_d, labels_pad[:n], valid_pad[:n]
+        args = (jnp.asarray(starts_padded, jnp.int32),
+                jnp.asarray(sample_starts),
+                jnp.asarray(win_valid),
+                jnp.asarray(labels_pad), jnp.asarray(valid_pad),
+                jnp.asarray(n, jnp.int32))
+        return n, args, kw, labels_pad[:n], valid_pad[:n]
 
     def _dispatch_eval_chunked(self, state: TrainState,
                                video: Dict[str, np.ndarray],
@@ -772,10 +802,20 @@ class Trainer:
             raise ValueError(
                 "evaluate(): the validation split has no videos — check "
                 "data.root / annotation layout (empty Validation_Set?)")
+        videos = ((vid, dataset.load_video(vid)) for vid in ids)
+        return self._aggregate_eval(
+            self.evaluate_stream(state, videos, pipeline=pipeline),
+            per_video_fn)
+
+    def _aggregate_eval(self, results, per_video_fn=None) -> Dict[str, float]:
+        """Drain (video_id, per-video result) pairs into the split-level
+        metric dict — THE single place both conventions (per-video mean and
+        pooled sufficient statistics) and ``ccc_select`` are assembled;
+        evaluate() and evaluate_ensemble() share it so they can never
+        silently diverge."""
         vs, as_ = [], []
         pooled = np.zeros((2, 6), np.float64)
-        videos = ((vid, dataset.load_video(vid)) for vid in ids)
-        for vid, r in self.evaluate_stream(state, videos, pipeline=pipeline):
+        for vid, r in results:
             if per_video_fn is not None:
                 per_video_fn(vid, r)
             vs.append(r["ccc_v"])
@@ -833,32 +873,52 @@ class Trainer:
             raise ValueError(
                 "evaluate_ensemble(): the split has no videos — check "
                 "data.root / annotation layout")
-        vs, as_ = [], []
-        pooled = np.zeros((2, 6), np.float64)
-        for vid in ids:
-            video = dataset.load_video(vid)
-            pred = self.predict_ensemble(states, video)
-            labels = np.asarray(video["labels"], np.float32)
-            valid = np.asarray(video["valid"], bool)
-            per_dim = _host_ccc(pred, labels, valid)
-            r = {"pred": pred, "ccc_v": float(per_dim[0]),
-                 "ccc_a": float(per_dim[1]),
-                 "stats": ccc_sufficient_stats(pred, labels, valid)}
-            if per_video_fn is not None:
-                per_video_fn(vid, r)
-            vs.append(r["ccc_v"])
-            as_.append(r["ccc_a"])
-            pooled += r["stats"]
-        pc = ccc_from_stats(pooled)
-        out = {"ccc_v": float(np.mean(vs)), "ccc_a": float(np.mean(as_)),
-               "ccc_mean": float((np.mean(vs) + np.mean(as_)) / 2),
-               "pooled_ccc_v": float(pc[0]), "pooled_ccc_a": float(pc[1]),
-               "pooled_ccc_mean": float(pc.mean()),
-               "n_models": len(states)}
-        out["ccc_select"] = (out["pooled_ccc_mean"]
-                             if self.cfg.train.eval_ccc_convention == "pooled"
-                             else out["ccc_mean"])
+        videos = ((vid, dataset.load_video(vid)) for vid in ids)
+        out = self._aggregate_eval(self._ensemble_stream(states, videos),
+                                   per_video_fn)
+        out["n_models"] = len(states)
         return out
+
+    def _ensemble_stream(self, states: List[TrainState], videos,
+                         pipeline: int = 2):
+        """evaluate_stream's pipelined loop, k states per video: while the
+        device chews video i's k forwards, video i+1 decodes and its ONE
+        shared upload streams. Yields (video_id, result) with the mean
+        track's CCC + pooled stats, same row shape as _collect_eval."""
+        def collect(item):
+            vid, labels, valid, pending = item
+            preds = [self._collect_eval(p)["pred"] for p in pending]
+            pred = np.mean(preds, axis=0, dtype=np.float64) \
+                .astype(np.float32)
+            per_dim = _host_ccc(pred, labels, valid)
+            return vid, {"pred": pred,
+                         "ccc_v": float(per_dim[0]),
+                         "ccc_a": float(per_dim[1]),
+                         "stats": ccc_sufficient_stats(pred, labels, valid)}
+        inflight: List[Any] = []
+        for vid, video in videos:
+            inflight.append((vid, np.asarray(video["labels"], np.float32),
+                             np.asarray(video["valid"], bool),
+                             self._dispatch_eval_multi(states, video)))
+            if len(inflight) >= max(pipeline, 1):
+                yield collect(inflight.pop(0))
+        for item in inflight:
+            yield collect(item)
+
+    def _dispatch_eval_multi(self, states: List[TrainState], video):
+        """One video's eval against k states, enqueued unsynced.
+
+        Non-chunked videos share ONE prepared device upload of the padded
+        inputs across the k dispatches (H2D is the bottleneck on a
+        remote-tunnel host); long videos take the chunked path per state,
+        which bounds device memory the same way single-model eval does."""
+        wcfg = self.cfg.window
+        starts = window_starts(len(video["labels"]), wcfg.window_frames,
+                               wcfg.eval_stride)
+        if wcfg.eval_max_windows and len(starts) > wcfg.eval_max_windows:
+            return [self._dispatch_eval(st, video) for st in states]
+        prep = self._prepare_eval_inputs(video, starts)
+        return [self._dispatch_eval(st, video, prep=prep) for st in states]
 
     def predict_ensemble(self, states: List[TrainState],
                          video) -> np.ndarray:
@@ -867,7 +927,7 @@ class Trainer:
         Dispatch-all-then-collect: the k evals are enqueued unsynced so H2D
         overlaps compute across models (same trick as evaluate_stream's
         video pipelining, across STATES instead of videos)."""
-        pending = [self._dispatch_eval(st, video) for st in states]
+        pending = self._dispatch_eval_multi(states, video)
         preds = [self._collect_eval(p)["pred"] for p in pending]
         return np.mean(preds, axis=0, dtype=np.float64).astype(np.float32)
 
@@ -891,13 +951,18 @@ class Trainer:
         history = {"loss": []}
         best = BestTracker(tcfg.early_stop_patience, tcfg.min_delta)
         # plateau schedule: its own patience window, independent of early
-        # stopping (torch ReduceLROnPlateau semantics: decay after
-        # `plateau_patience` evals without improvement, then restart the
-        # window; the best-so-far reference is kept across decays). The
-        # counter restarts on resume — like BestTracker — but the multiplier
-        # itself lives in TrainState, so the effective LR resumes exactly.
+        # stopping. torch ReduceLROnPlateau decays when
+        # num_bad_epochs > patience — i.e. it IGNORES `patience` bad evals
+        # and decays on the next one (patience=2 → decay at the 3rd
+        # consecutive bad eval), then restarts the window; the best-so-far
+        # reference is kept across decays. BestTracker fires at
+        # bad_evals >= its patience, so torch's knob maps to patience+1
+        # (round-4 review: the raw knob decayed one eval early vs the torch
+        # run MIGRATION.md claims to reproduce). The counter restarts on
+        # resume — like BestTracker — but the multiplier itself lives in
+        # TrainState, so the effective LR resumes exactly.
         ocfg = tcfg.optim
-        plateau = (BestTracker(max(ocfg.plateau_patience, 1), tcfg.min_delta)
+        plateau = (BestTracker(ocfg.plateau_patience + 1, tcfg.min_delta)
                    if ocfg.schedule == "plateau" else None)
         t0 = time.time()
         seen = 0

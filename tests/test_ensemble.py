@@ -88,6 +88,31 @@ def test_evaluate_ensemble_scores_the_mean_track(rig):
     assert len(rows) == 1 and rows[0][1]["pred"].shape[1] == 2
 
 
+def test_blank_checkpoint_list_fails_loudly(rig):
+    # "--checkpoint ," splits to zero paths; must be a clear error, not an
+    # IndexError on states[0] (round-4 review)
+    from m3f.pytorch_tpu.main import _load_states
+    _, tr, _, _, _ = rig
+    with pytest.raises(SystemExit, match="no checkpoint paths"):
+        _load_states(tr, " , ")
+
+
+def test_ensemble_states_are_eval_only(rig, tmp_path):
+    # k ensemble members must not pin k sets of Adam moments / ema aliases
+    # on device (round-4 review)
+    import jax
+    from m3f.pytorch_tpu.main import _load_states
+    from m3f.pytorch_tpu.train.checkpoint import Checkpointer
+    cfg, tr, ds, a, b = rig
+    ck = Checkpointer(str(tmp_path / "m"), keep=2, cfg=cfg)
+    ck.save(jax.device_get(a))
+    states = _load_states(tr, ck._path(0))
+    assert states[0].opt_state is None and states[0].ema is None
+    video = ds.load_video(ds.video_ids()[0])
+    np.testing.assert_array_equal(tr.predict_ensemble(states, video),
+                                  tr.evaluate_video(a, video)["pred"])
+
+
 def test_cli_comma_syntax(rig, tmp_path, capsys):
     import jax
     from m3f.pytorch_tpu.main import main

@@ -7,7 +7,8 @@ jitted train step (no recompile on decay); fit() decides decays at eval
 boundaries. Asserted:
 
 1. lr_mult=m is exactly a learning rate of lr*m for adam (one step);
-2. fit() decays after `plateau_patience` evals without improvement,
+2. fit() decays with torch ReduceLROnPlateau patience semantics (IGNORE
+   `plateau_patience` bad evals, decay on the next one — num_bad > patience),
    respects the min-scale floor, and does NOT decay while improving;
 3. the multiplier round-trips the checkpoint (resume-exact decays);
 4. plateau knobs are hash-neutral unless the schedule is "plateau";
@@ -112,14 +113,22 @@ def test_fit_decays_after_patience_and_respects_floor():
     # improving run: no decay
     state = _fit_with_metrics([0.1, 0.2, 0.3], plateau_patience=1)
     assert float(state.lr_mult) == 1.0
-    # flat run, patience=2: decay fires at the 3rd non-improving eval
-    # window boundary (evals 2+3 bad -> decay), once
+    # torch semantics: patience=2 IGNORES 2 bad evals — a flat run with
+    # only 2 bad evals after the first must NOT decay...
     state = _fit_with_metrics([0.3, 0.3, 0.3], plateau_patience=2,
                               plateau_factor=0.5)
+    assert float(state.lr_mult) == 1.0
+    # ...and decays exactly once on the 3rd consecutive bad eval
+    state = _fit_with_metrics([0.3, 0.3, 0.3, 0.3], plateau_patience=2,
+                              plateau_factor=0.5)
     assert float(state.lr_mult) == pytest.approx(0.5)
-    # patience=1, every eval bad: one decay per eval after the first,
-    # clamped at the floor
+    # patience=1, evals 2-4 bad: decay at eval 3 (2nd bad), window restarts,
+    # eval 4 is only 1 bad again -> one decay total
     state = _fit_with_metrics([0.3, 0.2, 0.1, 0.0], plateau_patience=1,
+                              plateau_factor=0.1, plateau_min_scale=1e-2)
+    assert float(state.lr_mult) == pytest.approx(0.1)
+    # patience=0 (torch-legal): decay on EVERY bad eval, clamped at floor
+    state = _fit_with_metrics([0.3, 0.2, 0.1, 0.0], plateau_patience=0,
                               plateau_factor=0.1, plateau_min_scale=1e-2)
     assert float(state.lr_mult) == pytest.approx(1e-2)
 

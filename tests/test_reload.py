@@ -91,6 +91,41 @@ def test_failed_reload_keeps_old_weights(two_ckpts, tmp_path):
                                   p.predict_video(waveform=wav)["pred"])
 
 
+def test_eval_only_residency_and_locked_swap(two_ckpts):
+    """Serving states carry NO opt moments / ema alias (round-4 review:
+    a k-model ensemble pinned k sets of Adam moments + duplicate EMA
+    uploads), and reload's expensive load runs outside the lock — only the
+    swap is serialized (passing a lock must work and stay consistent)."""
+    import threading
+    cfg, ckpt_a, ckpt_b = two_ckpts
+    p = Predictor(cfg=cfg, checkpoint=ckpt_a)
+    assert p.state.opt_state is None and p.state.ema is None
+    lock = threading.Lock()
+    info = p.reload(ckpt_b, lock=lock)
+    assert info["reloads"] == 1 and not lock.locked()
+    assert p.state.opt_state is None and p.state.ema is None
+    wav = _wav(20, cfg, seed=11)
+    np.testing.assert_array_equal(
+        p.predict_video(waveform=wav)["pred"],
+        Predictor(cfg=cfg, checkpoint=ckpt_b)
+        .predict_video(waveform=wav)["pred"])
+
+
+def test_eval_only_commit_folds_ema(two_ckpts):
+    """commit_state(eval_only=True) serves the EMA shadow as params and
+    drops the device-side duplicate."""
+    cfg, _, _ = two_ckpts
+    cfg_ema = apply_overrides(cfg, {"train.ema_decay": "0.99"})
+    tr = Trainer(cfg_ema)
+    state = jax.device_get(tr.init_state(seed=0))
+    shadow = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+    committed = tr.commit_state(state._replace(ema=shadow), eval_only=True)
+    assert committed.opt_state is None and committed.ema is None
+    for got, want in zip(jax.tree_util.tree_leaves(committed.params),
+                         jax.tree_util.tree_leaves(shadow)):
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def _post(url, body, headers=None):
     req = urllib.request.Request(url, data=body, headers=headers or {})
     return urllib.request.urlopen(req, timeout=120)
@@ -137,6 +172,28 @@ def test_http_reload_route(two_ckpts):
             _post(base + "/reload",
                   json.dumps({"checkpoint": "/nope/missing.npz"}).encode())
         assert e.value.code == 400
+        # non-string checkpoint value: a client error, not a 500 from
+        # np.load(123) deep inside (round-4 review)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/reload",
+                  json.dumps({"checkpoint": 123}).encode())
+        assert e.value.code == 400
+        # raw client, non-numeric Content-Length -> JSON 400, not a
+        # dropped connection (urllib always sets the header, so raw HTTP)
+        import socket
+        from urllib.parse import urlparse
+        u = urlparse(base)
+        with socket.create_connection((u.hostname, u.port), timeout=30) as s:
+            s.sendall(b"POST /reload HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: abc\r\n\r\n")
+            resp = b""
+            while True:          # read to close: body may arrive in a
+                d = s.recv(4096)  # second segment after the headers
+                if not d:
+                    break
+                resp += d
+        resp = resp.decode()
+        assert " 400 " in resp.splitlines()[0] and "error" in resp, resp
         with _post(base + "/predict", body) as r:
             still = np.asarray(json.load(r)["pred"], np.float32)
         np.testing.assert_array_equal(pred_a, still)

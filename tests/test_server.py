@@ -82,6 +82,32 @@ def test_client_errors_are_400s(server):
     assert e.value.code == 404
 
 
+def test_malformed_content_length_is_400(server):
+    """A raw client sending a non-numeric Content-Length must get a JSON
+    400, not a dropped connection from an uncaught ValueError (round-4
+    review). urllib always sets the header itself, so speak raw HTTP."""
+    import socket
+    from urllib.parse import urlparse
+    _, base = server
+    u = urlparse(base)
+    for path in ("/predict", "/reload"):
+        with socket.create_connection((u.hostname, u.port), timeout=30) as s:
+            s.sendall(f"POST {path} HTTP/1.1\r\nHost: x\r\n"
+                      "Content-Length: abc\r\n\r\n".encode())
+            resp = b""
+            while True:          # read to close: body may arrive in a
+                d = s.recv(4096)  # second segment after the headers
+                if not d:
+                    break
+                resp += d
+        resp = resp.decode()
+        # /reload without --allow-reload is refused (403) before the header
+        # is parsed; /predict must report the bad header itself
+        want = "403" if path == "/reload" else "400"
+        assert f" {want} " in resp.splitlines()[0], resp
+        assert "error" in resp
+
+
 def test_stream_endpoints_match_offline(server):
     p, base = server
     wav = _wav(30, p.cfg, seed=11)
