@@ -34,7 +34,11 @@ import numpy as np
 # to catch the program-load pathology class (250-540 s cold executions,
 # BASELINE.md round-1), not cache-state noise.
 FLOORS = {
-    "audio_only": {"clips_per_sec_min": 500.0, "compile_s_max": 90.0},
+    # compile_s observed 68.6 and 119.0 s for the SAME program on the same
+    # day (remote-tunnel compile jitter, round 4) — the ceiling must sit
+    # well above that band or the gate cries wolf; 150 s still catches the
+    # 250-540 s program-load pathology it exists for.
+    "audio_only": {"clips_per_sec_min": 500.0, "compile_s_max": 150.0},
     "visual_only": {"clips_per_sec_min": 165.0, "compile_s_max": 150.0},
     "fusion": {"clips_per_sec_min": 160.0, "compile_s_max": 150.0},
     "fusion+lane": {"clips_per_sec_min": 205.0, "compile_s_max": 150.0},
