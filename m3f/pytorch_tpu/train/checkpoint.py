@@ -27,6 +27,28 @@ import jax
 from m3f.pytorch_tpu.config import ExperimentConfig
 
 
+def _device_snapshot(tree):
+    """One fresh device buffer per leaf, as ONE compiled program.
+
+    Per-leaf ``x.copy()`` would dispatch (and first compile) hundreds of
+    tiny programs — measured 25 s for a fusion TrainState over the remote
+    tunnel; a single jitted tree-copy is one dispatch. Inputs that are host
+    numpy round-trip through the device unchanged (tests pass numpy
+    states), and XLA cannot alias outputs to inputs without donation, so
+    every output is a genuinely new buffer — safe against the caller
+    donating the originals into the next train step.
+    """
+    import jax.numpy as jnp
+    global _SNAPSHOT_JIT
+    if _SNAPSHOT_JIT is None:
+        _SNAPSHOT_JIT = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t))
+    return _SNAPSHOT_JIT(tree)
+
+
+_SNAPSHOT_JIT = None
+
+
 def _flatten_with_paths(tree):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     out = {}
@@ -192,6 +214,11 @@ class Checkpointer:
 
     def __post_init__(self):
         os.makedirs(self.directory, exist_ok=True)
+        # the async writer is a daemon thread; atexit runs before daemon
+        # threads are killed, so NO exit path (normal, exception, SystemExit)
+        # can lose a checkpoint that save_async already returned a path for
+        import atexit
+        atexit.register(self.wait)
 
     # -- naming -----------------------------------------------------------
 
@@ -236,11 +263,17 @@ class Checkpointer:
     def save_async(self, state) -> str:
         """Atomic ASYNC checkpoint (SURVEY §5 "orbax-style async").
 
-        The device→host fetch happens NOW (the state is donated into the next
-        train step, so buffers must be copied out synchronously); the npz
-        serialization + atomic rename + keep-K prune run on a background
-        thread so the train loop never blocks on disk. A still-running
-        previous write is joined first (single-writer backpressure).
+        The caller donates ``state`` into the next train step, so its buffers
+        cannot be read later — but a synchronous ``jax.device_get`` here
+        would stall the train loop for the whole device→host transfer
+        (seconds over a slow link for a fusion-sized state). Instead the
+        state is snapshotted ON-DEVICE (one fresh HBM buffer per leaf,
+        ~HBM-bandwidth cheap; PJRT orders the copies before any later step
+        that consumes the donated originals), and the fetch + npz write +
+        keep-K prune all run on a background thread overlapped with
+        training. Costs one extra TrainState in HBM until the write lands;
+        the entry ``wait()`` (single-writer backpressure) bounds that to
+        one snapshot, and ``wait()``/``save()``/exit join it.
         """
         import threading
         self.wait()
@@ -248,11 +281,12 @@ class Checkpointer:
         path = self._path(step)
         if not self._primary():
             return path
-        host_state = jax.device_get(state)
+        snap = jax.tree_util.tree_map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
         meta = self._meta(step)
 
         def _write():
-            save_pytree(host_state, path, meta)
+            save_pytree(jax.device_get(snap), path, meta)
             self._prune()
 
         self._writer = threading.Thread(target=_write, daemon=True)
@@ -357,12 +391,28 @@ class Checkpointer:
         return os.path.join(self.directory, "best.npz")
 
     def save_best(self, state, metric: float) -> str:
+        """Best-by-eval-CCC checkpoint (reference C8 ModelCheckpoint).
+
+        Runs on the eval path mid-fit, so it uses the same snapshot +
+        background-write machinery as save_async (a sync device→host fetch
+        of a fusion TrainState stalls training ~30 s on a slow link); the
+        single writer slot serializes it with periodic saves, and fit()'s
+        end-of-loop ``wait()`` guarantees best.npz is on disk when fit
+        returns."""
+        import threading
+        self.wait()
         if not self._primary():
             return self.best_path()
         meta = {"step": int(state.step), "metric": float(metric)}
         if self.cfg is not None:
             meta["config_hash"] = self.cfg.config_hash()
-        save_pytree(jax.device_get(state), self.best_path(), meta)
+        snap = _device_snapshot(state)
+
+        def _write():
+            save_pytree(jax.device_get(snap), self.best_path(), meta)
+
+        self._writer = threading.Thread(target=_write, daemon=True)
+        self._writer.start()
         return self.best_path()
 
     # -- preemption (SIGTERM) ---------------------------------------------

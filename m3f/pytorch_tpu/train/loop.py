@@ -1045,9 +1045,15 @@ class Trainer:
                     break
             if (checkpointer is not None and tcfg.checkpoint_every > 0
                     and (i + 1) % tcfg.checkpoint_every == 0):
-                # async: device→host fetch now (state is donated next step),
-                # serialization + rename on a background thread
+                # async: on-device snapshot now (state is donated next step),
+                # device→host fetch + serialization + rename on a background
+                # thread overlapped with training
                 checkpointer.save_async(state)
         if profiling:
             jax.profiler.stop_trace()
+        if checkpointer is not None:
+            # join the background writer: when fit() returns, its last
+            # periodic/best checkpoint must be durably on disk (callers read
+            # best.npz right after; the writer thread is a daemon)
+            checkpointer.wait()
         return state, history

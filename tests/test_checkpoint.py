@@ -74,6 +74,27 @@ def test_async_save_roundtrip_and_prune(tmp_path):
     assert ck.all_steps() == [3, 4]
 
 
+def test_async_save_survives_donation_of_the_caller_buffers(tmp_path):
+    """fit() donates the state into the NEXT train step right after
+    save_async returns — the write must read a device-side SNAPSHOT, never
+    the caller's buffers. Simulated here by jax.Array.delete() (the same
+    buffer-invalidated state donation produces): if save_async held
+    references to the originals, the background device_get would raise and
+    the checkpoint would be missing/corrupt."""
+    import jax
+
+    ck = Checkpointer(str(tmp_path), keep=2)
+    state = S(step=jnp.asarray(5, jnp.int32), w=jnp.full(3, 5.0))
+    ck.save_async(state)
+    for leaf in jax.tree_util.tree_leaves(state):
+        leaf.delete()  # what donate_argnums=0 does to the caller's buffers
+    ck.wait()
+    assert ck.all_steps() == [5]
+    restored = ck.maybe_restore(S(step=np.int32(0), w=np.zeros(3)))
+    np.testing.assert_array_equal(np.asarray(restored.w), np.full(3, 5.0))
+    assert int(restored.step) == 5
+
+
 def test_config_hash_mismatch_aborts(tmp_path):
     """A config change must abort resume loudly, never silently fall back to
     an older checkpoint (VERDICT r1 weak #3)."""
