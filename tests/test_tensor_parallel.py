@@ -116,7 +116,11 @@ def test_tp_eval_forward_matches_single_device():
 
 
 def test_tp_checkpoint_roundtrip(tmp_path):
-    """Save under TP, restore under TP: shardings reapplied by maybe_restore."""
+    """Save under TP, restore under TP: shardings reapplied by maybe_restore.
+
+    Uses save_async on the LIVE dp×tp-sharded device state (the fit() path)
+    and then invalidates the caller's buffers the way donation does — the
+    on-device snapshot must preserve sharded values across the gather."""
     from m3f.pytorch_tpu.train.checkpoint import Checkpointer
 
     cfg = tiny_cfg(4, 2)
@@ -124,15 +128,19 @@ def test_tp_checkpoint_roundtrip(tmp_path):
     state = trainer.init_state()
     step = trainer.make_train_step()
     state, _ = step(state, shard_batch(trainer.mesh, make_batch(cfg)))
+    host_params = jax.device_get(state.params)
     ck = Checkpointer(str(tmp_path), keep=2, cfg=cfg)
-    ck.save(jax.device_get(state))
+    ck.save_async(state)
+    for leaf in jax.tree.leaves(state):
+        leaf.delete()  # what donate_argnums=0 does to the caller's buffers
+    ck.wait()
 
     state2 = trainer.init_state()
     restored = ck.maybe_restore(state2, trainer)
     assert int(restored.step) == 1
     g = restored.params["gru"]["layers"][0]["fwd"]["w_ih"]
     assert g.sharding.spec == P(None, "model")
-    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+    for a, b in zip(jax.tree.leaves(host_params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
