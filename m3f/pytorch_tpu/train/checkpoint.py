@@ -13,11 +13,14 @@ these checkpoints weight-compatible with the reference's.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import re
 import signal
 import tempfile
+import threading
+import weakref
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -47,6 +50,26 @@ def _device_snapshot(tree):
 
 
 _SNAPSHOT_JIT = None
+
+# Live checkpointers whose in-flight async writes must drain at process exit.
+# ONE module-level atexit handler over a WeakSet — registering a bound
+# ``self.wait`` per instance would pin every Checkpointer (and its last
+# writer closure) for the process lifetime (ADVICE r4).
+_LIVE_CHECKPOINTERS: "weakref.WeakSet[Checkpointer]" = weakref.WeakSet()
+_ATEXIT_INSTALLED = False
+
+
+def _drain_all_checkpointers():
+    """atexit: join every live checkpointer's writer. The writer threads are
+    daemons and atexit runs before daemon threads are killed, so NO exit path
+    (normal, exception, SystemExit) can lose a checkpoint that save_async
+    already returned a path for. Write FAILURES are printed, not raised —
+    interpreter shutdown must still drain the remaining checkpointers."""
+    for ck in list(_LIVE_CHECKPOINTERS):
+        try:
+            ck.wait()
+        except Exception as e:
+            print(f"checkpoint write failed during exit drain: {e}")
 
 
 def _flatten_with_paths(tree):
@@ -205,7 +228,9 @@ def load_pretrained_init(params, bn_state, path: str):
     return params, bn_state
 
 
-@dataclass
+# eq=False: identity hash/eq — a stateful object (writer thread, SIGTERM
+# handler) and a member of the module's WeakSet exit-drain registry
+@dataclass(eq=False)
 class Checkpointer:
     directory: str
     keep: int = 3
@@ -213,12 +238,14 @@ class Checkpointer:
     _sigterm_state: Any = field(default=None, repr=False)
 
     def __post_init__(self):
+        global _ATEXIT_INSTALLED
         os.makedirs(self.directory, exist_ok=True)
-        # the async writer is a daemon thread; atexit runs before daemon
-        # threads are killed, so NO exit path (normal, exception, SystemExit)
-        # can lose a checkpoint that save_async already returned a path for
-        import atexit
-        atexit.register(self.wait)
+        self._writer: Optional[threading.Thread] = None
+        self._writer_error: Optional[tuple] = None  # (path, exception)
+        _LIVE_CHECKPOINTERS.add(self)
+        if not _ATEXIT_INSTALLED:
+            atexit.register(_drain_all_checkpointers)
+            _ATEXIT_INSTALLED = True
 
     # -- naming -----------------------------------------------------------
 
@@ -267,38 +294,64 @@ class Checkpointer:
         cannot be read later — but a synchronous ``jax.device_get`` here
         would stall the train loop for the whole device→host transfer
         (seconds over a slow link for a fusion-sized state). Instead the
-        state is snapshotted ON-DEVICE (one fresh HBM buffer per leaf,
-        ~HBM-bandwidth cheap; PJRT orders the copies before any later step
-        that consumes the donated originals), and the fetch + npz write +
-        keep-K prune all run on a background thread overlapped with
-        training. Costs one extra TrainState in HBM until the write lands;
-        the entry ``wait()`` (single-writer backpressure) bounds that to
-        one snapshot, and ``wait()``/``save()``/exit join it.
+        state is snapshotted ON-DEVICE via ``_device_snapshot`` (ONE jitted
+        whole-tree copy — a single dispatch, ~HBM-bandwidth cheap; PJRT
+        orders the copies before any later step that consumes the donated
+        originals), and the fetch + npz write + keep-K prune all run on a
+        background thread overlapped with training. Costs one extra
+        TrainState in HBM only until the background fetch lands (the writer
+        frees the snapshot buffers right after ``device_get``); the entry
+        ``wait()`` (single-writer backpressure) bounds that to one snapshot,
+        and ``wait()``/``save()``/exit join it.
         """
-        import threading
         self.wait()
         step = int(state.step)
         path = self._path(step)
         if not self._primary():
             return path
-        snap = jax.tree_util.tree_map(
-            lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
-        meta = self._meta(step)
+        self._start_writer(_device_snapshot(state), path, self._meta(step),
+                           prune=True)
+        return path
 
+    def _start_writer(self, snap, path: str, meta: dict,
+                      prune: bool = False) -> None:
+        """Background fetch + npz write of an on-device snapshot.
+
+        Failures (device_get over a flaky link, np.savez on a full disk) are
+        captured and re-raised from the next ``wait()`` — a swallowed writer
+        exception would let fit() return as if the checkpoint were durably
+        on disk (ADVICE r4). The snapshot's HBM buffers are freed as soon as
+        the host fetch completes, not when the thread object is replaced."""
         def _write():
-            save_pytree(jax.device_get(snap), path, meta)
-            self._prune()
+            try:
+                host = jax.device_get(snap)
+                jax.tree_util.tree_map(
+                    lambda x: x.delete() if isinstance(x, jax.Array) else None,
+                    snap)
+                save_pytree(host, path, meta)
+                if prune:
+                    self._prune()
+            except BaseException as e:  # noqa: BLE001 — re-raised in wait()
+                self._writer_error = (path, e)
 
         self._writer = threading.Thread(target=_write, daemon=True)
         self._writer.start()
-        return path
 
     def wait(self):
-        """Block until any in-flight async write has finished."""
+        """Block until any in-flight async write has finished.
+
+        Raises if that write FAILED: callers (fit()'s end-of-loop join, the
+        next save's backpressure, exit drain) must not report a checkpoint
+        as durable when the background fetch/serialize/rename died."""
         w = getattr(self, "_writer", None)
         if w is not None and w.is_alive():
             w.join()
         self._writer = None
+        err, self._writer_error = getattr(self, "_writer_error", None), None
+        if err is not None:
+            path, exc = err
+            raise RuntimeError(
+                f"async checkpoint write of {path} failed: {exc}") from exc
 
     def _meta(self, step: int) -> dict:
         meta = {"step": step}
@@ -399,20 +452,13 @@ class Checkpointer:
         single writer slot serializes it with periodic saves, and fit()'s
         end-of-loop ``wait()`` guarantees best.npz is on disk when fit
         returns."""
-        import threading
         self.wait()
         if not self._primary():
             return self.best_path()
         meta = {"step": int(state.step), "metric": float(metric)}
         if self.cfg is not None:
             meta["config_hash"] = self.cfg.config_hash()
-        snap = _device_snapshot(state)
-
-        def _write():
-            save_pytree(jax.device_get(snap), self.best_path(), meta)
-
-        self._writer = threading.Thread(target=_write, daemon=True)
-        self._writer.start()
+        self._start_writer(_device_snapshot(state), self.best_path(), meta)
         return self.best_path()
 
     # -- preemption (SIGTERM) ---------------------------------------------

@@ -304,3 +304,43 @@ def test_console_log_gated_to_process_zero(monkeypatch, capsys):
     monkeypatch.setenv("M3F_LOG_ALL_PROCESSES", "1")
     console_log("debug-p3")
     assert "[p3] debug-p3" in capsys.readouterr().out
+
+
+def test_async_write_failure_raises_from_wait(tmp_path, monkeypatch):
+    """A failed background write (full disk, dead tunnel) must surface from
+    wait() — fit()'s end-of-loop join would otherwise return as if the last
+    periodic/best checkpoint were durably on disk (ADVICE r4)."""
+    import pytest
+    import m3f.pytorch_tpu.train.checkpoint as C
+
+    ck = Checkpointer(str(tmp_path))
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(C, "save_pytree", boom)
+    ck.save_async(S(step=np.int32(1), w=np.ones(3)))
+    with pytest.raises(RuntimeError, match="disk full"):
+        ck.wait()
+    # the failure is consumed by that raise; the checkpointer stays usable
+    monkeypatch.undo()
+    ck.save(S(step=np.int32(2), w=np.full(3, 2.0)))
+    assert ck.all_steps() == [2]
+
+
+def test_checkpointer_not_pinned_by_atexit(tmp_path):
+    """The exit drain runs over a WeakSet — a per-instance
+    atexit.register(self.wait) pinned every Checkpointer (plus its last
+    writer closure) for the process lifetime (ADVICE r4)."""
+    import gc
+    import weakref
+    import m3f.pytorch_tpu.train.checkpoint as C
+
+    ck = Checkpointer(str(tmp_path))
+    ck.save_async(S(step=np.int32(1), w=np.ones(3)))
+    ck.wait()
+    assert ck in C._LIVE_CHECKPOINTERS
+    ref = weakref.ref(ck)
+    del ck
+    gc.collect()
+    assert ref() is None, "Checkpointer leaked after deletion"
