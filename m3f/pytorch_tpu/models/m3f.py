@@ -91,21 +91,33 @@ class M3F:
               video: Optional[jnp.ndarray] = None,
               mel: Optional[jnp.ndarray] = None,
               wav: Optional[jnp.ndarray] = None,
+              hop: Optional[jnp.ndarray] = None,
               train: bool = False,
               rng: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, State]:
         audio, visual, gru, head = self._parts()
         if audio is not None and mel is None and wav is not None:
             # fused on-device frontend — raw [B, W, samples] waveform slices
-            # become [B, W, F, n_mels] log-mels inside the same jit region
+            # become [B, W, F, n_mels] log-mels inside the same jit region.
+            # ``hop``: traced per-example mel hop (int32, broadcastable over
+            # wav's leading dims) for the per-video audio time base; the wav
+            # buffer is then max-hop-sized (samples_per_window_max) and ONE
+            # compiled program covers every frame rate.
             if self.cfg.mel_backend == "pallas":
+                if hop is not None:
+                    raise NotImplementedError(
+                        "mel_backend='pallas' does not support the per-video "
+                        "dynamic hop (its framing is compile-time strided) — "
+                        "use mel_backend='xla' for hop-aware runs")
                 from m3f.pytorch_tpu.ops.pallas.melspec_pallas import \
                     log_mel_spectrogram_pallas
                 mel = log_mel_spectrogram_pallas(wav, self.cfg.mel,
                                                  out_dtype=self._cdtype())
             else:
                 from m3f.pytorch_tpu.ops.melspec import log_mel_spectrogram
-                mel = log_mel_spectrogram(wav, self.cfg.mel,
-                                          out_dtype=self._cdtype())
+                mel = log_mel_spectrogram(
+                    wav, self.cfg.mel, out_dtype=self._cdtype(), hop=hop,
+                    n_frames_out=(self.cfg.audio.mel_frames_per_window
+                                  if hop is not None else None))
         per_frame = self.cfg.per_frame
         # L = output frames per window (per-frame mode). With video present it
         # is pinned by the input; audio-only takes it from config.

@@ -26,6 +26,7 @@ TPU notes:
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import numpy as np
 import jax
@@ -115,19 +116,63 @@ def _frame(x: jnp.ndarray, n_fft: int, hop: int, n_frames: int) -> jnp.ndarray:
     return x[..., idx]
 
 
+def _frame_dynamic(x: jnp.ndarray, hop: jnp.ndarray, n_fft: int,
+                   n_frames: int) -> jnp.ndarray:
+    """Per-example-hop centered framing: [..., S_max] → [..., n_frames, n_fft].
+
+    ``hop`` is a TRACED int32 (broadcastable over x's leading dims): the
+    per-video mel hop that keeps one mel frame per video frame at the
+    video's true rate (config.MelConfig.hop_for_fps). Shapes stay static —
+    the buffer is sized for max_hop_length and only indices are dynamic —
+    so ONE compiled program covers every frame rate, including mixed-rate
+    batches; no per-rate compile buckets.
+
+    The librosa reflect-pad centering is expressed in INDEX space (−k ↦ k
+    on the left, T−1+k ↦ T−1−k about the per-example signal end
+    T = (n_frames−1)·hop) instead of jnp.pad, so each example reflects at
+    its OWN window end and never reads the buffer's zero tail. For
+    hop == cfg.hop_length this gathers bitwise the same samples as the
+    static path (same reflection, same centers).
+    """
+    hop = jnp.asarray(hop, jnp.int32)
+    # pad hop with trailing singleton dims so it broadcasts over any
+    # remaining leading dims of x plus the [n_frames, n_fft] frame axes
+    hop = hop.reshape(hop.shape + (1,) * (x.ndim - 1 - hop.ndim) + (1, 1))
+    i = jnp.arange(n_frames, dtype=jnp.int32)[:, None]
+    j = jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+    idx = hop * i + (j - n_fft // 2)             # centered, signal coords
+    idx = jnp.abs(idx)                           # left reflect: −k ↦ k
+    end = hop * (n_frames - 1) - 1               # last in-window sample
+    idx = jnp.where(idx > end, 2 * end - idx, idx)
+    return jnp.take_along_axis(x[..., None, :], idx, axis=-1)
+
+
 def log_mel_spectrogram(waveform: jnp.ndarray, cfg: MelConfig,
-                        out_dtype=jnp.float32) -> jnp.ndarray:
+                        out_dtype=jnp.float32, hop=None,
+                        n_frames_out: Optional[int] = None) -> jnp.ndarray:
     """[..., num_samples] float wav in [-1,1] → [..., n_frames, n_mels] log-mel.
 
     Pure function of statically-shaped input — safe inside jit/pjit; batch
     dims vmap for free via broadcasting.
+
+    ``hop``: optional traced per-example hop (int32, broadcastable over the
+    leading dims) for the per-video-rate audio time base; requires
+    ``n_frames_out`` (the buffer is max-hop-sized, so the frame count can
+    no longer derive from its length) and cfg.center. None = the static
+    cfg.hop_length path, byte-identical to all prior rounds.
     """
     x = waveform.astype(jnp.float32)
     t = x.shape[-1]
-    if cfg.center:
-        pad = cfg.n_fft // 2
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    frames = _frame(x, cfg.n_fft, cfg.hop_length, num_frames(t, cfg))
+    if hop is not None:
+        assert cfg.center, "dynamic hop requires centered framing"
+        assert n_frames_out is not None, "dynamic hop needs n_frames_out"
+        frames = _frame_dynamic(x, hop, cfg.n_fft, n_frames_out)
+    else:
+        if cfg.center:
+            pad = cfg.n_fft // 2
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)],
+                        mode="reflect")
+        frames = _frame(x, cfg.n_fft, cfg.hop_length, num_frames(t, cfg))
     win = jnp.asarray(hann_window(cfg.win_length))
     if cfg.win_length < cfg.n_fft:  # centre-pad window to n_fft (librosa)
         lpad = (cfg.n_fft - cfg.win_length) // 2
