@@ -132,6 +132,9 @@ def test_backbone_fused_matches_xla_train_and_grads():
             err_msg=jax.tree_util.keystr(pa))
 
 
+@pytest.mark.slow  # ~9 s (suite budget, ROUND5): whole-backbone eval of
+# the DEFAULT-OFF pallas_fused backend; the lean unit cells above keep the
+# kernel itself covered
 def test_backbone_fused_eval_matches_xla():
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(1, 8, 16, 16, 3).astype(np.float32))

@@ -68,6 +68,8 @@ def test_sharded_eval_forward_pads_and_matches():
     np.testing.assert_allclose(out, 2 * x, rtol=1e-6)
 
 
+@pytest.mark.slow  # ~10 s (suite budget, ROUND5): the bf16 dtype variant
+# of the wavefront; the fp32 exactness contract stays lean above
 def test_bigru_seq_parallel_bf16_matches_unsharded():
     """The ppermute wavefront must round its carry to the compute dtype
     exactly like models/gru.py's scan — under bf16 an unrounded fp32 carry

@@ -41,7 +41,13 @@ def test_s2d_kernel_shape():
     np.testing.assert_array_equal(np.asarray(k2[:, 0, :, 0:3, :]), 0.0)
 
 
-@pytest.mark.parametrize("conv_mode", ["2plus1d", "3d", "mc3"])
+# s2d is a DEFAULT-OFF exact-math stem rewrite: the default conv family
+# stays lean; the 3d/mc3 interplay params (~3-4 s compiles each) are slow
+# (suite budget, ROUND5)
+@pytest.mark.parametrize("conv_mode", [
+    "2plus1d",
+    pytest.param("3d", marks=pytest.mark.slow),
+    pytest.param("mc3", marks=pytest.mark.slow)])
 def test_stem_s2d_matches_direct(conv_mode):
     vis = VisualNetConfig(block_channels=(8, 16), blocks_per_stage=(1, 1),
                           stem_channels=8, feature_dim=16,
@@ -57,6 +63,9 @@ def test_stem_s2d_matches_direct(conv_mode):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # ~9 s (suite budget, ROUND5): gradient matrix of a
+# DEFAULT-OFF exact-math rewrite; forward parity for all three conv modes
+# stays lean above
 def test_stem_s2d_gradients_match_direct():
     vis = VisualNetConfig(block_channels=(8,), blocks_per_stage=(1,),
                           stem_channels=8, feature_dim=8)
