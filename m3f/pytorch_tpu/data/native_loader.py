@@ -121,25 +121,60 @@ class Prefetcher:
     def __init__(self, it: Iterator, depth: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self._stop = False
         self._thread = threading.Thread(target=self._run, args=(it,), daemon=True)
         self._thread.start()
 
     def _run(self, it):
         try:
             for item in it:
-                self._q.put(item)
+                # bounded put so close() can interrupt a producer blocked on
+                # a full queue (consumer stopped early — fit() hit num_steps
+                # on an endless stream)
+                while not self._stop:
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop:
+                    return
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(self._DONE)
+            while not self._stop:
+                try:
+                    self._q.put(self._DONE, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._stop:
+            raise StopIteration
         item = self._q.get()
         if item is self._DONE:
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self):
+        """Stop the producer thread and drop its buffered batches.
+
+        Without this, a consumer that stops early leaves the thread blocked
+        on the full queue for process life, pinning ``depth`` ready batches
+        (tens of MB for fusion shapes) and the underlying stream's decode
+        cache. Idempotent; the Prefetcher is drained and unusable after.
+        """
+        self._stop = True
+        for _ in range(2):           # once to unblock, once after it exits
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=5.0)

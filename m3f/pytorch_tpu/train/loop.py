@@ -996,7 +996,13 @@ class Trainer:
         seen = 0
         use_a, use_v = self.cfg.model.use_audio, self.cfg.model.use_video
         start_step = int(state.step)
-        if callable(train_stream) and not hasattr(train_stream, "__next__"):
+        # a stream fit() created from the factory form is fit()'s to clean
+        # up: an endless stream's Prefetcher would otherwise stay blocked on
+        # its full queue for process life, pinning `depth` ready batches
+        # (caller-owned iterators are never closed — the caller may reuse them)
+        owns_stream = (callable(train_stream)
+                       and not hasattr(train_stream, "__next__"))
+        if owns_stream:
             train_stream = train_stream(start_step)
         profiling = False
         for i in range(start_step, num_steps):
@@ -1081,6 +1087,10 @@ class Trainer:
                 checkpointer.save_async(state)
         if profiling:
             jax.profiler.stop_trace()
+        if owns_stream and hasattr(train_stream, "close"):
+            # covers every non-raising exit (num_steps reached, early stop);
+            # a raising fit is on its way to killing the process anyway
+            train_stream.close()
         if checkpointer is not None:
             # join the background writer: when fit() returns, its last
             # periodic/best checkpoint must be durably on disk (callers read

@@ -78,6 +78,62 @@ def test_prefetcher_order_and_exception():
         next(pf)
 
 
+def test_prefetcher_close_unblocks_producer():
+    """close() must stop a producer blocked on the full queue (an endless
+    stream whose consumer quit early — every `m3f train` fit()) instead of
+    leaving the thread pinned with `depth` buffered batches for process
+    life; the thread must actually exit and iteration must end."""
+    import itertools
+    import time
+
+    started = time.time()
+    pf = nl.Prefetcher(itertools.count(), depth=2)
+    assert next(pf) == 0
+    # producer is now parked on a full queue (give it a tick to fill)
+    time.sleep(0.05)
+    pf.close()
+    assert not pf._thread.is_alive(), "producer thread still running"
+    with pytest.raises(StopIteration):
+        next(pf)
+    pf.close()   # idempotent
+    assert time.time() - started < 5.0
+
+
+def test_prefetcher_close_after_exhaustion():
+    pf = nl.Prefetcher(iter([1, 2]), depth=2)
+    assert list(pf) == [1, 2]
+    pf.close()
+    assert not pf._thread.is_alive()
+
+
+def test_fit_closes_factory_stream(tmp_path):
+    """fit() owns streams it built from the factory form and must close()
+    them on exit; caller-supplied iterators stay untouched."""
+    from m3f.pytorch_tpu.data.synthetic import SyntheticAVDataset
+    from m3f.pytorch_tpu.data.windowing import WindowSequencer, example_stream
+    from m3f.pytorch_tpu.train.loop import Trainer
+    from test_train_integration import tiny_audio_cfg
+
+    cfg = tiny_audio_cfg(num_steps=2, ckpt_dir=str(tmp_path))
+    tr = Trainer(cfg)
+    ds = SyntheticAVDataset(cfg.data, cfg.model.mel)
+    seq = WindowSequencer(cfg.window, cfg.model.mel,
+                          mel_frames=cfg.model.audio.mel_frames_per_window)
+    made = []
+
+    def factory(skip_batches: int = 0):
+        pf = nl.Prefetcher(example_stream(ds, seq, cfg.train.batch_size,
+                                          seed=0, skip_batches=skip_batches),
+                           depth=2)
+        made.append(pf)
+        return pf
+
+    state, _ = tr.fit(factory, log=lambda s: None)
+    assert int(state.step) == 2
+    assert len(made) == 1
+    assert made[0]._stop and not made[0]._thread.is_alive()
+
+
 def test_degenerate_tiny_sources(tmp_path):
     """1-pixel-wide/tall sources must not read out of bounds in the bilinear
     resize (ADVICE r1: p10/p01 dereferenced past the buffer when sh/sw == 1;
