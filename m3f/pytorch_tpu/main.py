@@ -300,9 +300,74 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Checkpoint archaeology without a model or a device: meta (step,
+    config hash, best metric), layout, and a per-group size/dtype breakdown
+    from the npz headers — the operator's answer to "what IS this file?"
+    before committing to an eval/serve/resume on it. Pure numpy; works on
+    hosts with no accelerator (reference parity note: the torch analog is
+    an interactive ``torch.load`` — SURVEY §2.1 C10; rebuild-only CLI)."""
+    import json as _json
+
+    import numpy as np
+    ok = True
+    for path in args.checkpoint:
+        with np.load(path) as z:
+            meta = {}
+            if "__meta__" in z.files:
+                meta = _json.loads(bytes(z["__meta__"]).decode())
+            keys = [k for k in z.files if k != "__meta__"]
+            groups = {}
+            total_bytes = 0
+            dtypes = {}
+            for k in keys:
+                a = z[k]
+                parts = k.split("/")
+                # params/<branch>/... groups by branch; everything else by root
+                g = "/".join(parts[:2]) if parts[0] in ("params", "ema")  \
+                    and len(parts) > 1 else parts[0]
+                st = groups.setdefault(g, [0, 0])
+                st[0] += 1
+                st[1] += a.nbytes
+                total_bytes += a.nbytes
+                dtypes[str(a.dtype)] = dtypes.get(str(a.dtype), 0) + a.nbytes
+            roots = {k.split("/")[0] for k in keys}
+            layout = ("TrainState (resumable: params+opt+step"
+                      + ("+ema" if "ema" in roots else "") + ")"
+                      if {"params", "opt_state"} <= roots
+                      else "model-only (eval/serve/init-from)"
+                      if "params" in roots or "state" in roots
+                      else "unknown")
+        row = {"path": path, "layout": layout, "leaves": len(keys),
+               "mbytes": round(total_bytes / 2**20, 2), **meta}
+        if args.json:
+            print(_json.dumps({**row, "groups": {g: {"leaves": c, "mbytes":
+                  round(b / 2**20, 2)} for g, (c, b) in sorted(groups.items())},
+                  "dtype_mbytes": {d: round(b / 2**20, 2)
+                                   for d, b in sorted(dtypes.items())}}))
+        else:
+            meta_s = " ".join(f"{k}={v}" for k, v in meta.items())
+            print(f"{path}: {layout}")
+            print(f"  {len(keys)} leaves, {total_bytes / 2**20:.2f} MiB"
+                  + (f"  [{meta_s}]" if meta_s else "  [no meta]"))
+            for g, (c, b) in sorted(groups.items(),
+                                    key=lambda kv: -kv[1][1]):
+                print(f"  {b / 2**20:10.2f} MiB  {c:4d} leaves  {g}")
+            print("  dtypes: " + ", ".join(
+                f"{d}={b / 2**20:.2f}MiB" for d, b in sorted(dtypes.items())))
+        ok = ok and layout != "unknown"
+    return 0 if ok else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="m3f", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
+    sp = sub.add_parser("inspect",
+                        help="describe checkpoint npz files (meta, layout, "
+                             "size breakdown) without loading a model")
+    sp.add_argument("checkpoint", nargs="+")
+    sp.add_argument("--json", action="store_true",
+                    help="one JSON line per file")
     sp = sub.add_parser("profile", help="summarize a profiler trace dir")
     sp.add_argument("dir")
     sp.add_argument("--top", type=int, default=15)
@@ -400,6 +465,8 @@ def main(argv=None) -> int:
     sp.add_argument("--platforms", default="cpu,tpu")
     sp.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
+    if args.cmd == "inspect":
+        return cmd_inspect(args)     # pure numpy — never touches a device
     if args.cmd == "profile":
         return cmd_profile(args)
     if args.cmd == "export":

@@ -145,3 +145,35 @@ def test_average_checkpoints(tmp_path):
                         s0.params, s1.params)
     for g, w in zip(jax.tree.leaves(got.params), jax.tree.leaves(want)):
         np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6, atol=1e-7)
+
+
+def test_inspect_checkpoint(tmp_path, capsys):
+    """`m3f inspect` describes both checkpoint layouts from npz headers only
+    (no device, no model): layout detection, meta passthrough, size groups."""
+    from m3f.pytorch_tpu.main import main as cli
+    from m3f.pytorch_tpu.train.checkpoint import save_pytree
+
+    train_state = {
+        "params": {"gru": {"w_ih": np.zeros((4, 12), np.float32)},
+                   "head": {"w": np.zeros((8, 2), np.float32)}},
+        "opt_state": {"mu": {"gru": {"w_ih": np.zeros((4, 12), np.float32)}}},
+        "ema": {"gru": {"w_ih": np.zeros((4, 12), np.float32)}},
+        "step": np.int64(7),
+    }
+    full = str(tmp_path / "ckpt_00000007.npz")
+    save_pytree(train_state, full, {"step": 7, "config_hash": "cafe1234"})
+    model_only = str(tmp_path / "imported.npz")
+    save_pytree({"params": train_state["params"]}, model_only)
+
+    assert cli(["inspect", full, model_only]) == 0
+    out = capsys.readouterr().out
+    assert "TrainState" in out and "+ema" in out
+    assert "model-only" in out
+    assert "config_hash=cafe1234" in out
+
+    assert cli(["inspect", "--json", full]) == 0
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["layout"].startswith("TrainState")
+    assert row["step"] == 7 and row["leaves"] == 5
+    assert row["groups"]["params/gru"]["leaves"] == 1
+    assert set(row["dtype_mbytes"]) == {"float32", "int64"}
