@@ -48,6 +48,10 @@ def derive_floors(baselines: dict) -> dict:
     max rules: ceiling = measured * headroom (headroom > 1), or an absolute
     ``ceiling`` for rules that are pathology detectors rather than
     regression bands (compile_s — see baselines.json "rules").
+
+    compile_s rules may carry a ``program_sha``: the fingerprint of the
+    preset's lowered train-step HLO from the last rebaselined run. The
+    ceiling applies only when the fingerprint CHANGED — see apply_gate.
     """
     floors = {}
     for preset, rules in baselines["rows"].items():
@@ -59,6 +63,8 @@ def derive_floors(baselines: dict) -> dict:
                 fl[key] = spec["ceiling"]
             else:
                 fl[key] = round(spec["measured"] * spec["headroom"], 1)
+            if kind == "compile_s" and "program_sha" in spec:
+                fl["program_sha"] = spec["program_sha"]
         floors[preset] = fl
     return floors
 
@@ -87,6 +93,8 @@ def rebaseline(baselines: dict, configs: list, date: str) -> dict:
             field = measured_field.get(kind)
             if "measured" in spec and field and row.get(field) is not None:
                 spec["measured"] = row[field]
+            if kind == "compile_s" and row.get("program_sha"):
+                spec["program_sha"] = row["program_sha"]
     baselines["provenance"]["source"] = "tpu_smoke.py --rebaseline"
     baselines["provenance"]["date"] = date
     return baselines
@@ -112,7 +120,25 @@ def apply_gate(row: dict, scale: float = 1.0) -> dict:
         row_ok = True
     if "compile_s_max" in fl and row.get("compile_s") is not None:
         checks["compile_s_max"] = fl["compile_s_max"]
-        row_ok = row_ok and row["compile_s"] <= fl["compile_s_max"]
+        if row["compile_s"] > fl["compile_s_max"]:
+            # The ceiling exists to catch a PROGRAM regressing into the
+            # 250-540 s load-pathology class (BASELINE.md round 2). Cold
+            # program-load wall time over this tunnel also swings 4-7x with
+            # the day's rig weather for a byte-identical program (round 5:
+            # the hash-same audio_only step cold-loaded in 87 s on round-4
+            # weather and 383->+580 s a day later). So the ceiling applies
+            # only when the preset's lowered-HLO fingerprint CHANGED since
+            # the baseline: an unchanged program cannot have regressed, and
+            # a changed one must prove itself (rebaseline records its sha
+            # after a passing run).
+            baseline_sha = fl.get("program_sha")
+            if baseline_sha and row.get("program_sha") == baseline_sha:
+                row["compile_s_waived"] = (
+                    "over ceiling but program fingerprint unchanged vs "
+                    "baseline — cold-load wall is rig weather, not the "
+                    "program (BASELINE.md round 5)")
+            else:
+                row_ok = False
     if "device_compute_ms_max" in fl \
             and row.get("device_compute_ms") is not None:
         checks["device_compute_ms_max"] = round(
@@ -178,6 +204,14 @@ def smoke_one(name: str) -> dict:
         feed["wav"] = rng.randn(B, W, spw).astype(np.float32)
     batch = shard_batch(tr.mesh, feed)
 
+    # Fingerprint the program BEFORE the timed first exec: the sha of the
+    # lowered StableHLO decides whether a compile_s ceiling violation is a
+    # program regression (sha changed) or rig weather (sha unchanged) —
+    # see apply_gate. lower() only traces, it neither compiles nor runs.
+    import hashlib
+    program_sha = hashlib.sha256(
+        step.lower(state, batch).as_text().encode()).hexdigest()[:16]
+
     t0 = time.perf_counter()
     state, m = step(state, batch)
     loss = float(m["loss"])          # value fetch = true sync (axon tunnel)
@@ -191,6 +225,7 @@ def smoke_one(name: str) -> dict:
     step_ms = (time.perf_counter() - t0) / iters * 1e3
     assert np.isfinite(loss), f"{name}: non-finite loss"
     return {"preset": name, "compile_s": round(compile_s, 2),
+            "program_sha": program_sha,
             "step_ms": round(step_ms, 2), "loss": round(loss, 4),
             "clips_per_sec": round(B * W / (step_ms / 1e3), 1)}
 

@@ -66,6 +66,46 @@ def test_gate_fails_below_floor_and_on_slow_compile():
                        "compile_s": 151.0})["pass"] is False
 
 
+def test_compile_ceiling_waived_only_for_unchanged_program():
+    # BASELINE.md round 5: cold-load wall time swings 4-7x with rig weather
+    # for a byte-identical program, so the pathology ceiling applies only
+    # when the lowered-HLO fingerprint CHANGED since the baselined run.
+    floors = derive_floors({"rows": {"x": {
+        "clips_per_sec": {"measured": 100.0, "headroom": 0.8},
+        "compile_s": {"ceiling": 150.0, "program_sha": "abc123"}}}})
+    assert floors["x"]["program_sha"] == "abc123"
+    import tpu_smoke
+    old = tpu_smoke.FLOORS
+    tpu_smoke.FLOORS = floors
+    try:
+        # same program, slow day -> waived with an explanation, still passes
+        ok = apply_gate({"preset": "x", "clips_per_sec": 100.0,
+                         "compile_s": 400.0, "program_sha": "abc123"})
+        assert ok["pass"] is True and "weather" in ok["compile_s_waived"]
+        # changed program over the ceiling -> fails (must prove itself)
+        assert apply_gate({"preset": "x", "clips_per_sec": 100.0,
+                           "compile_s": 400.0, "program_sha": "zzz999"
+                           })["pass"] is False
+        # no recorded fingerprint -> conservative, ceiling applies
+        assert apply_gate({"preset": "x", "clips_per_sec": 100.0,
+                           "compile_s": 400.0})["pass"] is False
+        # under the ceiling nothing is waived regardless of sha
+        under = apply_gate({"preset": "x", "clips_per_sec": 100.0,
+                            "compile_s": 10.0, "program_sha": "zzz999"})
+        assert under["pass"] is True and "compile_s_waived" not in under
+    finally:
+        tpu_smoke.FLOORS = old
+
+
+def test_rebaseline_records_program_sha():
+    base = {"rows": {"fusion": {"compile_s": {"ceiling": 150.0}}},
+            "provenance": {}}
+    out = rebaseline(base, [{"preset": "fusion", "compile_s": 12.0,
+                             "program_sha": "deadbeef"}], date="2099-01-01")
+    assert out["rows"]["fusion"]["compile_s"] == {
+        "ceiling": 150.0, "program_sha": "deadbeef"}
+
+
 def test_gate_scale_floors_self_test_trips():
     floor = FLOORS["bench:default"]["clips_per_sec_min"]
     row = apply_gate({"preset": "bench:default", "clips_per_sec": floor},
@@ -126,8 +166,11 @@ def test_rebaseline_rewrites_measured_keeps_headrooms_and_ceilings():
     out = rebaseline(base, run, date="2099-01-01")
     assert out["rows"]["fusion"]["clips_per_sec"]["measured"] == 999.0
     assert out["rows"]["fusion"]["clips_per_sec"]["headroom"] == old_headroom
-    # absolute ceilings are pathology detectors — never rebaselined
-    assert out["rows"]["fusion"]["compile_s"] == {"ceiling": 150.0}
+    # absolute ceilings are pathology detectors — never rebaselined (the
+    # run above carries no program_sha, so the recorded one is kept too)
+    assert out["rows"]["fusion"]["compile_s"]["ceiling"] == 150.0
+    assert out["rows"]["fusion"]["compile_s"]["program_sha"] == \
+        base["rows"]["fusion"]["compile_s"]["program_sha"]
     assert out["rows"]["feed:fusion"]["host_pipeline_ms"]["measured"] == 7.0
     assert out["rows"]["longseq_eval (eval)"]["device_compute_ms"][
         "measured"] == 55.0
