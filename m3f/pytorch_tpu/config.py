@@ -181,6 +181,35 @@ class ModelConfig:
             d += self.visual.feature_dim
         return d
 
+    def hop_plan(self, fps: float, nominal_fps: float
+                 ) -> Tuple[int, bool, int, int]:
+        """Per-video mel-hop plan for a video/session at ``fps`` — THE single
+        derivation every consumer (train windowing, both eval dispatches,
+        streaming sessions, warmup rate filters) goes through.
+
+        Returns ``(hop, dynamic, spw, spw_buf)``: the per-window mel hop,
+        whether the dynamic-hop program is engaged (hop differs from the
+        nominal ``mel.hop_length``), the window's REAL audio span in samples
+        ((mel_frames−1)·hop), and the static wav-buffer width the compiled
+        program is shaped for (max-hop-sized when dynamic so every rate
+        shares ONE program; == spw otherwise).
+
+        ``mel_backend='pallas'`` frames at a compile-time stride, so the
+        dynamic hop is unavailable there: the plan falls back to the fixed
+        nominal hop (the bounded-warp pre-dynamic-hop behavior) instead of
+        letting the model raise at trace time — a pallas run over off-rate
+        data must keep working, just without the per-video time base.
+        Audio-less models trivially plan the fixed hop (nothing reads it).
+        """
+        frames = self.audio.mel_frames_per_window
+        hop = self.mel.hop_for_fps(fps, nominal_fps)
+        if not self.use_audio or self.mel_backend == "pallas":
+            hop = self.mel.hop_length
+        dynamic = hop != self.mel.hop_length
+        spw = (frames - 1) * hop
+        buf = (frames - 1) * self.mel.max_hop_length if dynamic else spw
+        return hop, dynamic, spw, buf
+
 
 @dataclass(frozen=True)
 class WindowConfig:

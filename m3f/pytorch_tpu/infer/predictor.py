@@ -238,11 +238,10 @@ class Predictor:
             # smoothing needs future frames — so there is nothing to warm.)
             # Off-rate sessions (per-video hop) compile ONE shared dynamic
             # forward: one representative rate warms them all.
-            mel = self.cfg.model.mel
             stream_rates = [None]
             dyn = [r for r in rates
-                   if mel.hop_for_fps(r, fps) != mel.hop_length]
-            if dyn and self.cfg.model.use_audio:
+                   if self.cfg.model.hop_plan(r, fps)[1]]
+            if dyn:
                 stream_rates.append(dyn[0])
             for r in stream_rates:
                 sess = self.stream(fps=r)
@@ -368,20 +367,12 @@ class StreamingSession:
         # off-rate sessions share ONE compiled forward (hop is fed as data).
         self.fps = float(fps or cfg.data.fps)
         self.sr = cfg.model.mel.sample_rate
-        from m3f.pytorch_tpu.data.windowing import (samples_per_window,
-                                                    samples_per_window_max)
-        self.hop = cfg.model.mel.hop_for_fps(self.fps, cfg.data.fps)
-        self.dynamic_hop = (self.use_audio
-                            and self.hop != cfg.model.mel.hop_length)
-        if self.dynamic_hop:
-            # real audio span of one window at this session's rate; the
-            # buffer pads to the max-hop width (never read past the span)
-            self.spw = (cfg.model.audio.mel_frames_per_window - 1) * self.hop
-            self.spw_buf = samples_per_window_max(
-                cfg.model.mel, cfg.model.audio.mel_frames_per_window)
-        else:
-            self.spw = self.spw_buf = samples_per_window(
-                cfg.model.mel, cfg.model.audio.mel_frames_per_window)
+        # spw = real audio span of one window at this session's rate;
+        # spw_buf pads to the max-hop width when dynamic (never read past
+        # the span). hop_plan also gates on backend: pallas sessions keep
+        # the fixed nominal hop instead of raising at trace time.
+        self.hop, self.dynamic_hop, self.spw, self.spw_buf = \
+            cfg.model.hop_plan(self.fps, cfg.data.fps)
         self._fwd = predictor._eval_forward()
         # buffers are TRIMMED as data is consumed (a live session must run
         # for hours at O(latency) memory, not O(stream)); _f0/_s0/_a0 are
@@ -666,12 +657,9 @@ class SessionGroup:
         if not cfg.model.per_frame or cfg.window.eval_smooth > 1:
             return                      # stream() would refuse to open
         probes = [self.p.stream()]      # geometry only; never pushed
-        if cfg.model.use_audio:
-            mel = cfg.model.mel
-            dyn = [r for r in rates
-                   if mel.hop_for_fps(r, cfg.data.fps) != mel.hop_length]
-            if dyn:
-                probes.append(self.p.stream(fps=dyn[0]))
+        dyn = [r for r in rates if cfg.model.hop_plan(r, cfg.data.fps)[1]]
+        if dyn:
+            probes.append(self.p.stream(fps=dyn[0]))
         for probe in probes:
             W, L, S = probe.W, probe.L, probe.S
             # through _bucket(max_batch), not max_batch: push_many pads a

@@ -273,11 +273,16 @@ class PredictServer:
                     return None
 
             def _read_npz(self):
-                n = self._content_length()
-                if n is None:
-                    return None
-                if n > max_body:
-                    self._reject_oversize(n)
+                # header sanity (bad/oversize Content-Length) already ran
+                # in do_POST before routing; this route additionally needs
+                # a body — rfile.read(-1) on a non-positive length would
+                # block until the CLIENT closes a keep-alive connection,
+                # pinning this handler thread (and a negative n would
+                # corrupt the bytes_in counter)
+                n = self._n_body
+                if n <= 0:
+                    self.close_connection = True
+                    self._fail(400, f"bad Content-Length {n}")
                     return None
                 outer.stats.record_bytes(self._route, n)
                 raw = self.rfile.read(n)
@@ -296,6 +301,10 @@ class PredictServer:
                     return False
                 if parts[1:] == ["open"]:
                     self._route = "stream/open"
+                    if self._n_body > 0:
+                        # /open takes no body; the unread bytes would be
+                        # parsed as the next keep-alive request
+                        self.close_connection = True
                     from urllib.parse import parse_qs, urlparse
                     q = parse_qs(urlparse(self.path).query)
                     fps = q.get("fps", [None])[0]   # capture's true rate
@@ -319,6 +328,8 @@ class PredictServer:
                     return True
                 if len(parts) == 3 and parts[2] in ("push", "flush"):
                     self._route = f"stream/{parts[2]}"
+                    if parts[2] == "flush" and self._n_body > 0:
+                        self.close_connection = True   # body never read
                     sid = parts[1]
                     # evict on EVERY touch, not just /open — the TTL
                     # contract must be deterministic (a client returning
@@ -391,9 +402,7 @@ class PredictServer:
                     return self._fail(
                         403, "reload disabled — start the server with "
                              "--allow-reload to enable POST /reload")
-                n = self._content_length()
-                if n is None:
-                    return
+                n = self._n_body   # header sanity already ran in do_POST
                 if not 0 < n <= 1 << 20:
                     self.close_connection = True   # body stays unread
                     return self._fail(400, f"bad Content-Length {n}")
@@ -428,6 +437,16 @@ class PredictServer:
             def do_POST(self):
                 from urllib.parse import parse_qs, urlparse
                 self._t0 = time.monotonic()
+                # header sanity gates EVERY POST route BEFORE it acts: an
+                # oversize body is 413'd before a single byte is buffered
+                # (the RAM bound is max_body × concurrent uploads), on any
+                # route — /predict, /stream/*, /reload alike
+                n = self._content_length()
+                if n is None:
+                    return
+                if n > max_body:
+                    return self._reject_oversize(n)
+                self._n_body = n
                 url = urlparse(self.path)
                 if self._stream_routes(url.path):
                     return
@@ -436,11 +455,6 @@ class PredictServer:
                 if url.path.rstrip("/") != "/predict":
                     return self._fail(404, f"unknown path {url.path}")
                 self._route = "predict"
-                n = self._content_length()
-                if n is None:
-                    return
-                if n > max_body:
-                    return self._reject_oversize(n)
                 if n <= 0:
                     self.close_connection = True
                     return self._fail(400, f"bad Content-Length {n}")
@@ -649,7 +663,11 @@ def run_server(predictor, host: str = "127.0.0.1", port: int = 8321,
         # graphs; cold ones would compile while the batch leader holds the
         # device, stalling every in-flight request
         log("warming micro-batch buckets ...")
-        srv._group.warmup()
+        # rates too: off-rate sessions run the dynamic-hop [b, W, ...]
+        # forwards — a separate graph family the fixed-hop warmup never
+        # touches, which would otherwise compile inside the serving path
+        # the first time off-rate concurrency reaches a new bucket
+        srv._group.warmup(rates=tuple(warmup_rates))
     log(f"serving {predictor.cfg.name} on http://{host}:{srv.port} "
         "(POST /predict, GET /healthz, GET /statz)")
     try:

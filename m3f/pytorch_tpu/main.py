@@ -115,11 +115,23 @@ def cmd_train(cfg: ExperimentConfig, args) -> int:
     # video's 16 frames at the TRUE rate; uniformly-nominal corpora keep
     # the historical fixed-hop shapes (and compiled programs) exactly
     from m3f.pytorch_tpu.data.windowing import needs_dynamic_hop
-    hop_aware = cfg.model.use_audio and needs_dynamic_hop(
+    off_rate = cfg.model.use_audio and needs_dynamic_hop(
         ds, cfg.model.mel, cfg.data.fps)
+    # the pallas mel frontend frames at a compile-time stride — it cannot
+    # take the per-example hop, and auto-enabling it would turn a
+    # previously-working pallas config into a trace-time error. Fall back
+    # to the fixed nominal hop (the bounded-warp pre-dynamic behavior)
+    # and say so loudly.
+    hop_aware = off_rate and cfg.model.mel_backend != "pallas"
     if hop_aware:
         print("per-video mel hop: dataset has off-rate videos — hop-aware "
               "windowing enabled (one shared dynamic-hop train program)")
+    elif off_rate:
+        print("WARNING: dataset has off-rate videos but "
+              "model.mel_backend='pallas' frames at a compile-time stride — "
+              "keeping the fixed nominal mel hop (audio time base warps by "
+              "up to ~1/5 window at 25 fps; use model.mel_backend=xla for "
+              "the per-video hop)")
     seq = WindowSequencer(cfg.window, cfg.model.mel, fps=cfg.data.fps,
                           mel_frames=cfg.model.audio.mel_frames_per_window,
                           per_frame=cfg.model.per_frame,
@@ -322,7 +334,11 @@ def cmd_inspect(args) -> int:
             dtypes = {}
             for k in keys:
                 a = z[k]
-                parts = k.split("/")
+                # trainer checkpoints flatten DATACLASS attrs with a leading
+                # "." per component (".params/audio/...", ".opt_state/1/0/
+                # .mu/..."); imported model-only npz flatten plain dicts
+                # ("params/..."). Normalize per component so both describe.
+                parts = [p.lstrip(".") for p in k.split("/")]
                 # params/<branch>/... groups by branch; everything else by root
                 g = "/".join(parts[:2]) if parts[0] in ("params", "ema")  \
                     and len(parts) > 1 else parts[0]
@@ -331,22 +347,29 @@ def cmd_inspect(args) -> int:
                 st[1] += a.nbytes
                 total_bytes += a.nbytes
                 dtypes[str(a.dtype)] = dtypes.get(str(a.dtype), 0) + a.nbytes
-            roots = {k.split("/")[0] for k in keys}
+            roots = {k.split("/")[0].lstrip(".") for k in keys}
             layout = ("TrainState (resumable: params+opt+step"
                       + ("+ema" if "ema" in roots else "") + ")"
                       if {"params", "opt_state"} <= roots
                       else "model-only (eval/serve/init-from)"
                       if "params" in roots or "state" in roots
                       else "unknown")
+        # trainer checkpoints embed the FULL nested config under
+        # meta["config"] (resume safety) — summarize it to its field count
+        # so the one-line description stays one line; the hash is the
+        # identity an operator compares anyway
+        meta_view = {k: (f"<{len(v)} sections>" if k == "config"
+                         and isinstance(v, dict) else v)
+                     for k, v in meta.items()}
         row = {"path": path, "layout": layout, "leaves": len(keys),
-               "mbytes": round(total_bytes / 2**20, 2), **meta}
+               "mbytes": round(total_bytes / 2**20, 2), **meta_view}
         if args.json:
             print(_json.dumps({**row, "groups": {g: {"leaves": c, "mbytes":
                   round(b / 2**20, 2)} for g, (c, b) in sorted(groups.items())},
                   "dtype_mbytes": {d: round(b / 2**20, 2)
                                    for d, b in sorted(dtypes.items())}}))
         else:
-            meta_s = " ".join(f"{k}={v}" for k, v in meta.items())
+            meta_s = " ".join(f"{k}={v}" for k, v in meta_view.items())
             print(f"{path}: {layout}")
             print(f"  {len(keys)} leaves, {total_bytes / 2**20:.2f} MiB"
                   + (f"  [{meta_s}]" if meta_s else "  [no meta]"))

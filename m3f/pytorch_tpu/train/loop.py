@@ -657,12 +657,7 @@ class Trainer:
         # ONE shared dynamic-hop program (hop is a traced scalar, the wav
         # gather max-hop-sized) with wav lengths bucketed to whole seconds.
         fps = float(video.get("fps") or self.cfg.data.fps)
-        hop_e = mcfg.mel.hop_for_fps(fps, self.cfg.data.fps)
-        dyn = hop_e != mcfg.mel.hop_length
-        spw = (samples_per_window_max(mcfg.mel,
-                                      mcfg.audio.mel_frames_per_window)
-               if dyn else
-               samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window))
+        hop_e, dyn, _, spw = mcfg.hop_plan(fps, self.cfg.data.fps)
         kw = {}
         if mcfg.use_video:
             frames = video["frames"]
@@ -715,12 +710,7 @@ class Trainer:
         # with wav-slice lengths bucketed up to whole seconds (chunk
         # geometry itself is rate-independent)
         fps = float(video.get("fps") or self.cfg.data.fps)
-        hop_e = mcfg.mel.hop_for_fps(fps, self.cfg.data.fps)
-        dyn = hop_e != mcfg.mel.hop_length
-        spw = (samples_per_window_max(mcfg.mel,
-                                      mcfg.audio.mel_frames_per_window)
-               if dyn else
-               samples_per_window(mcfg.mel, mcfg.audio.mel_frames_per_window))
+        hop_e, dyn, _, spw = mcfg.hop_plan(fps, self.cfg.data.fps)
         n = len(video["labels"])
         M = -(-wcfg.eval_max_windows // self._win_bucket()) \
             * self._win_bucket()

@@ -308,3 +308,48 @@ def test_session_group_mixed_rates_match_inline():
     for sess, fps in tails.items():
         got = np.concatenate([outs[sess][1], sess.flush()[1]])
         np.testing.assert_allclose(got, ref[fps], atol=1e-5)
+
+
+def test_hop_plan_is_the_single_derivation():
+    """ModelConfig.hop_plan is THE derivation every consumer (train
+    windowing gate, eval dispatches, streaming sessions, warmup filters)
+    routes through: (hop, dynamic, spw, spw_buf)."""
+    m = ModelConfig()
+    hop, dyn, spw, buf = m.hop_plan(25.0, 30.0)
+    assert (hop, dyn) == (640, True)
+    assert spw == (m.audio.mel_frames_per_window - 1) * 640
+    assert buf == samples_per_window_max(m.mel, m.audio.mel_frames_per_window)
+    hop, dyn, spw, buf = m.hop_plan(30.0, 30.0)
+    assert (hop, dyn) == (m.mel.hop_length, False)
+    assert spw == buf == samples_per_window(m.mel,
+                                            m.audio.mel_frames_per_window)
+    # audio-less models trivially plan the fixed hop — nothing reads it
+    assert ModelConfig(use_audio=False).hop_plan(25.0, 30.0)[1] is False
+
+
+def test_hop_plan_pallas_backend_keeps_fixed_hop():
+    """mel_backend='pallas' frames at a compile-time stride and REJECTS a
+    traced hop (models/m3f.py raises at trace time) — the plan must fall
+    back to the fixed nominal hop (the bounded-warp pre-dynamic behavior)
+    so off-rate data on a pallas config keeps working instead of crashing
+    (round-5 review finding)."""
+    m = ModelConfig(mel_backend="pallas")
+    hop, dyn, spw, buf = m.hop_plan(25.0, 30.0)
+    assert (hop, dyn) == (m.mel.hop_length, False)
+    assert spw == buf == samples_per_window(m.mel,
+                                            m.audio.mel_frames_per_window)
+
+
+def test_streaming_session_pallas_backend_never_goes_dynamic():
+    """An off-rate streaming session on a pallas-frontend predictor plans
+    the FIXED hop (no traced hop reaches the model, which would raise
+    NotImplementedError on the first completed window group)."""
+    from m3f.pytorch_tpu.infer.predictor import Predictor
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, mel_backend="pallas"))
+    sess = Predictor(cfg=cfg).stream(fps=25.0)
+    assert not sess.dynamic_hop
+    assert sess.hop == cfg.model.mel.hop_length
+    assert sess.spw == sess.spw_buf

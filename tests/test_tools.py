@@ -161,7 +161,12 @@ def test_inspect_checkpoint(tmp_path, capsys):
         "step": np.int64(7),
     }
     full = str(tmp_path / "ckpt_00000007.npz")
-    save_pytree(train_state, full, {"step": 7, "config_hash": "cafe1234"})
+    # trainer meta embeds the FULL nested config (Checkpointer._meta) —
+    # inspect must summarize it, not dump hundreds of fields inline
+    save_pytree(train_state, full,
+                {"step": 7, "config_hash": "cafe1234",
+                 "config": {"model": {"gru": {"hidden_size": 256}},
+                            "train": {"batch_size": 8}}})
     model_only = str(tmp_path / "imported.npz")
     save_pytree({"params": train_state["params"]}, model_only)
 
@@ -170,10 +175,33 @@ def test_inspect_checkpoint(tmp_path, capsys):
     assert "TrainState" in out and "+ema" in out
     assert "model-only" in out
     assert "config_hash=cafe1234" in out
+    assert "hidden_size" not in out          # summarized, not dumped
+    assert "config=<2 sections>" in out
 
     assert cli(["inspect", "--json", full]) == 0
     row = json.loads(capsys.readouterr().out.strip())
     assert row["layout"].startswith("TrainState")
     assert row["step"] == 7 and row["leaves"] == 5
+    assert row["config"] == "<2 sections>"   # not the nested dict
     assert row["groups"]["params/gru"]["leaves"] == 1
     assert set(row["dtype_mbytes"]) == {"float32", "int64"}
+
+    # REAL trainer checkpoints flatten the TrainState DATACLASS: every
+    # attr component carries a leading "." (".params/gru/w_ih",
+    # ".opt_state/1/0/.mu/...") — inspect must normalize per component,
+    # not split naively (found by driving `m3f inspect` on a checkpoint
+    # the real trainer wrote: layout came back "unknown", rc 1)
+    import numpy as np_
+    dotted = str(tmp_path / "real_format.npz")
+    np_.savez(dotted, **{
+        ".params/gru/w_ih": np.zeros((4, 12), np.float32),
+        ".opt_state/1/0/.mu/gru/w_ih": np.zeros((4, 12), np.float32),
+        ".opt_state/1/0/.count": np.zeros((), np.int32),
+        ".bn_state/audio/0/mean": np.zeros((4,), np.float32),
+        ".step": np.int64(3),
+    })
+    assert cli(["inspect", "--json", dotted]) == 0
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["layout"].startswith("TrainState")
+    assert row["groups"]["params/gru"]["leaves"] == 1
+    assert row["groups"]["opt_state"]["leaves"] == 2
