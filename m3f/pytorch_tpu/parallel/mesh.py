@@ -18,8 +18,11 @@ Axes:
   split for them.
 
 Multi-host: call ``maybe_initialize_distributed()`` first (no-op single-host);
-the mesh then spans all slices and the same code runs unchanged — DCN
-collectives only appear if the mesh crosses slices.
+the mesh then spans all slices and the same code runs unchanged. When the
+devices DO span multiple slices (multi-slice jobs; devices carry
+``slice_index``), :func:`order_devices_for_mesh` lays the mesh out so every
+'model' row is intra-slice (TP collectives stay on ICI) and the 'data' axis
+is slice-major — only the once-per-step gradient psum crosses DCN.
 """
 
 from __future__ import annotations
@@ -152,18 +155,78 @@ def maybe_initialize_distributed(env: Optional[Mapping[str, str]] = None
     return plan
 
 
+def order_devices_for_mesh(devices, num_data: int, num_model: int,
+                           slice_ids=None) -> np.ndarray:
+    """PURE device layout for ``Mesh(('data','model'))`` — multi-slice aware.
+
+    Returns an object array of shape ``(num_data, num_model)``. Two
+    properties make the layout DCN-correct when the devices span multiple
+    TPU slices (SURVEY §2.4/§5: "DCN only if multi-slice"):
+
+    1. **Every 'model' row is intra-slice.** The TP collectives (per-layer
+       all-gather/psum on the BiGRU gates and fusion head) fire many times
+       per step — they must ride ICI. A slice whose device count doesn't
+       divide by ``num_model`` raises rather than silently building a TP
+       group that straddles DCN.
+    2. **The 'data' axis is slice-major.** Rows from the same slice are
+       contiguous, so XLA can decompose the once-per-step gradient psum
+       into an intra-slice ICI reduce plus one cross-slice DCN exchange.
+
+    ``slice_ids`` defaults to each device's ``slice_index`` attribute
+    (present on real multi-slice TPU jobs; ``None``/absent ⇒ slice 0, which
+    reproduces the historical single-slice layout bit-for-bit). Within a
+    slice the ``jax.devices()`` order is preserved (ICI-contiguous).
+    """
+    devices = list(devices)
+    if slice_ids is None:
+        slice_ids = [getattr(d, "slice_index", None) for d in devices]
+        slice_ids = [0 if s is None else int(s) for s in slice_ids]
+    if len(slice_ids) != len(devices):
+        raise ValueError(f"{len(slice_ids)} slice_ids for {len(devices)} devices")
+
+    groups: Dict[int, list] = {}
+    for d, s in zip(devices, slice_ids):
+        groups.setdefault(s, []).append(d)
+
+    use = num_data * num_model
+    if len(groups) == 1:
+        # single slice: historical layout, unchanged
+        if use > len(devices):
+            raise ValueError(f"mesh {num_data}x{num_model} needs {use} "
+                             f"devices, have {len(devices)}")
+        return np.asarray(devices[:use], dtype=object).reshape(num_data, num_model)
+
+    rows = []
+    for s in sorted(groups):
+        g = groups[s]
+        if len(g) % num_model:
+            raise ValueError(
+                f"slice {s} has {len(g)} devices, not a multiple of "
+                f"num_model={num_model} — a tensor-parallel group would "
+                "cross DCN (inter-slice) links; choose num_model to divide "
+                "every slice's device count")
+        rows.extend(g[i:i + num_model] for i in range(0, len(g), num_model))
+    if num_data > len(rows):
+        raise ValueError(f"mesh {num_data}x{num_model} needs {num_data} "
+                         f"rows, slices provide {len(rows)}")
+    return np.asarray(rows[:num_data], dtype=object)
+
+
 def create_mesh(num_data: int = -1, num_model: int = 1,
-                devices=None) -> Mesh:
-    """Mesh(('data', 'model')) over the slice.
+                devices=None, slice_ids=None) -> Mesh:
+    """Mesh(('data', 'model')) over one slice or several.
 
     ``num_data=-1`` uses every available device (divided by ``num_model``).
-    Device order follows ``jax.devices()`` which is ICI-contiguous on a slice.
+    Single slice: device order follows ``jax.devices()`` (ICI-contiguous).
+    Multi-slice (devices carrying ``slice_index``, or explicit
+    ``slice_ids``): devices are re-ordered by :func:`order_devices_for_mesh`
+    so TP stays on ICI and only the data-axis gradient reduction crosses
+    DCN; the public axes and every downstream sharding stay unchanged.
     """
     devices = list(devices if devices is not None else jax.devices())
     if num_data == -1:
         num_data = len(devices) // num_model
-    use = num_data * num_model
-    arr = np.asarray(devices[:use]).reshape(num_data, num_model)
+    arr = order_devices_for_mesh(devices, num_data, num_model, slice_ids)
     return Mesh(arr, ("data", "model"))
 
 
